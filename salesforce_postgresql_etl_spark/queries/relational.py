@@ -1,0 +1,593 @@
+"""Relational core queries (SURVEY.md §2.2–§2.4, §2.6–§2.7).
+
+Every query here is pure DataFrame API → Catalyst plans it: filters and
+projections push into the parquet scan, dimension joins broadcast, the
+lineitem⋈orders join sort-merges (or AQE converts it), aggregates run
+partial+final. No RDDs, no UDFs.
+
+Determinism: money math goes through DECIMAL (see functions.determinism)
+so sums are execution-order independent and hash-match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import D_RATE, davg, dsum, money, rate
+from ..sources import load
+from . import register
+
+# Shared revenue expression: extendedprice * (1 - discount), exact decimal.
+def _revenue():
+    return money("l_extendedprice") * (F.lit(1).cast(D_RATE) - rate("l_discount"))
+
+
+REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# A2 — flagship: TPC-H Q1 shape (hash group-by, partial+final agg)
+# ---------------------------------------------------------------------------
+@register(
+    "q_agg_group",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({REV_SQL}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({REV_SQL} * (CAST(1 AS DECIMAL(7,4)) + CAST(l_tax AS DECIMAL(7,4)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    charge = _revenue() * (F.lit(1).cast(D_RATE) + rate("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", cast=D_RATE),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projection / filter
+# ---------------------------------------------------------------------------
+@register(
+    "q_project",
+    oracle="""
+SELECT c_custkey AS custkey, c_name,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(7,4)) AS DOUBLE)
+           AS acctbal_with_bonus
+FROM customer
+""",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        "c_name",
+        (money("c_acctbal") * F.lit(1.05).cast(D_RATE))
+        .cast("double")
+        .alias("acctbal_with_bonus"),
+    )
+
+
+@register(
+    "q_filter_pred",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderstatus, o_orderpriority
+FROM orders
+WHERE (o_totalprice > 150000.0 AND o_orderstatus <> 'F')
+   OR (o_orderpriority = '1-URGENT' AND NOT o_totalprice >= 50000.0)
+""",
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cond = ((F.col("o_totalprice") > 150000.0) & (F.col("o_orderstatus") != "F")) | (
+        (F.col("o_orderpriority") == "1-URGENT") & ~(F.col("o_totalprice") >= 50000.0)
+    )
+    return o.where(cond).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+    )
+
+
+@register(
+    "q_filter_in",
+    oracle="""
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+""",
+)
+def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.where(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "q_filter_like",
+    oracle="""
+SELECT p_partkey, p_name, p_type, p_brand
+FROM part
+WHERE p_type LIKE 'PROMO%' OR p_name LIKE '%steel%' OR p_brand LIKE '%#3%'
+""",
+)
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_type").like("PROMO%")
+        | F.col("p_name").like("%steel%")
+        | F.col("p_brand").like("%#3%")
+    ).select("p_partkey", "p_name", "p_type", "p_brand")
+
+
+@register(
+    "q_filter_between",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+  AND l_discount BETWEEN 0.02 AND 0.08
+GROUP BY l_returnflag
+""",
+)
+def q_filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            F.col("l_shipdate").between(
+                F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("1996-12-31 23:59:59").cast("timestamp_ntz"),
+            )
+            & F.col("l_discount").between(0.02, 0.08)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@register(
+    "q_filter_null",
+    # Fixtures are NULL-free (FIXTURES.md) — NULLs are manufactured with
+    # NULLIF to exercise three-valued logic on both engines identically.
+    oracle="""
+WITH t AS (SELECT NULLIF(o_orderstatus, 'P') AS st, o_totalprice FROM orders)
+SELECT COUNT(*) AS n_rows,
+       COUNT(st) AS n_nonnull,
+       CAST(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN st IS NOT NULL AND o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_nonnull
+FROM t
+""",
+)
+def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn(
+        "st", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    )
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("st").alias("n_nonnull"),
+        F.sum(F.when(F.col("st").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.sum(
+            F.when(F.col("st").isNotNull() & (F.col("o_totalprice") > 100000.0), 1).otherwise(0)
+        ).alias("n_big_nonnull"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+@register(
+    "q_join_inner",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    # customer is dimension-sized → Catalyst broadcasts (BroadcastHashJoin).
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_star",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    # Dims are broadcast; the l⋈o fact join shuffles on the key. At 100 TB
+    # the fact tables would be co-bucketed on orderkey (see SCALE.md).
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'O'
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "O")
+    return c.join(o, cond, "left").select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_full",
+    oracle="""
+WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT cn.nk AS cust_nk, sn.nk AS supp_nk, cn.n_cust, sn.n_supp
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+""",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full").select(
+        cn.nk.alias("cust_nk"), sn.nk.alias("supp_nk"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    # Delete-detection shape (SURVEY.md S7): keys present in the target
+    # but absent from the source extract.
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_range",
+    # Band join: fact rows land in value tiers — BroadcastNestedLoopJoin
+    # against a tiny literal dim.
+    oracle="""
+SELECT t.tier, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders o
+JOIN (VALUES ('T1', 0.0, 50000.0), ('T2', 50000.0, 150000.0),
+             ('T3', 150000.0, 300000.0), ('T4', 300000.0, 1000000.0)) AS t(tier, lo, hi)
+  ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+GROUP BY t.tier
+""",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [
+            ("T1", 0.0, 50000.0),
+            ("T2", 50000.0, 150000.0),
+            ("T3", 150000.0, 300000.0),
+            ("T4", 300000.0, 1000000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    cond = (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi)
+    return (
+        o.join(F.broadcast(tiers), cond)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+SELECT n.n_name, r.r_name FROM nation n CROSS JOIN region r
+""",
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.crossJoin(r).select("n_name", "r_name")
+
+
+@register(
+    "q_join_self",
+    # Consecutive-line pairing via an equi self-join on (key, seq+1).
+    oracle="""
+SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+       CAST(CAST(b.l_quantity AS DECIMAL(12,2)) - CAST(a.l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_delta
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+""",
+)
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    a = l.alias("a")
+    b = l.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("ln_a"),
+        F.col("b.l_linenumber").alias("ln_b"),
+        (money(F.col("b.l_quantity")) - money(F.col("a.l_quantity")))
+        .cast("double")
+        .alias("qty_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations (A1, A3, A4, A5)
+# ---------------------------------------------------------------------------
+@register(
+    "q_agg_global",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(DISTINCT l_suppkey) AS n_supp
+FROM lineitem
+""",
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        davg("l_extendedprice", "avg_price"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@register(
+    "q_agg_countdistinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def q_agg_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("q_agg_approx_cd", oracle=None)  # approximate → rows-only by design
+def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+""",
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
+        .where(F.col("n_orders") >= 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+@register(
+    "q_sort",
+    # Value-hash is order-insensitive, so the sort is materialized into a
+    # row_number column (with NULLS LAST control via a manufactured NULL).
+    oracle="""
+WITH t AS (SELECT o_orderkey, o_totalprice, NULLIF(o_orderstatus, 'P') AS st
+           FROM orders WHERE o_totalprice > 250000.0)
+SELECT o_orderkey, o_totalprice, st,
+       ROW_NUMBER() OVER (ORDER BY st ASC NULLS LAST, o_totalprice DESC, o_orderkey ASC) AS rn
+FROM t
+""",
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 250000.0)
+        .withColumn("st", F.nullif(F.col("o_orderstatus"), F.lit("P")))
+    )
+    w = Window.orderBy(
+        F.asc_nulls_last("st"), F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey", "o_totalprice", "st", F.row_number().over(w).alias("rn")
+    )
+
+
+@register(
+    "q_topk",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+""",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    # TakeOrderedAndProject: per-partition top-k, no global sort shuffle.
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@register(
+    "q_limit_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50 OFFSET 100
+""",
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations
+# ---------------------------------------------------------------------------
+_URGENT = "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'"
+_BIG = "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_totalprice > 200000.0"
+
+
+def _union_inputs(spark: SparkSession, sf_dir: str):
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(*cols)
+    big = o.where(F.col("o_totalprice") > 200000.0).select(*cols)
+    return urgent, big
+
+
+@register("q_union_all", oracle=f"{_URGENT} UNION ALL {_BIG}")
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urgent, big = _union_inputs(spark, sf_dir)
+    return urgent.unionByName(big)
+
+
+@register("q_union_distinct", oracle=f"{_URGENT} UNION {_BIG}")
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urgent, big = _union_inputs(spark, sf_dir)
+    return urgent.unionByName(big).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+""",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@register(
+    "q_except",
+    oracle="""
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier
+""",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics

@@ -1,0 +1,72 @@
+"""SparkSession construction + runtime configuration.
+
+Two entry paths:
+
+- ``get_spark()``: build our own session (tests, bench) with scale-aware
+  defaults (AQE on, shuffle partitions sized to the box, UTC).
+- ``configure_runtime(spark)``: applied to ANY session — including the
+  driver-owned one passed to ``__spark_entry__.entry`` — before reading
+  fixtures. Only runtime-settable SQL confs go here. This is where the
+  two correctness-critical confs live:
+
+  * ``spark.sql.session.timeZone=UTC`` — fixture timestamps are NTZ /
+    UTC; the DuckDB oracle is TZ-naive (FIXTURES.md).
+  * ``spark.sql.legacy.parquet.nanosAsLong=true`` — ``events.parquet``
+    stores ``ts`` as INT64 TIMESTAMP(NANOS) which Spark 4 otherwise
+    refuses with PARQUET_TYPE_ILLEGAL (SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to every session before fixture reads.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Idempotently apply runtime confs to an existing session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some builds — builder path sets it instead
+    return spark
+
+
+def get_spark(
+    app_name: str = "salesforce-postgresql-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local session sized for this box.
+
+    At 100 TB the same code runs unchanged on a real cluster: only
+    ``master`` and the partition sizing confs change (see SCALE.md).
+    """
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    shuffle = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure_runtime(builder.getOrCreate())

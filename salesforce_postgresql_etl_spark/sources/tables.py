@@ -1,0 +1,50 @@
+"""Fixture-table source (SURVEY.md §2.1 S1/S8).
+
+The ten driver-generated parquet tables stand in for Salesforce objects
+(FIXTURES.md). Reads are plain ``spark.read.parquet`` so the vectorized
+columnar reader + Catalyst pushdown/pruning apply untouched.
+
+The one special case is ``events``: its ``ts`` column is parquet INT64
+TIMESTAMP(NANOS, false). With ``spark.sql.legacy.parquet.nanosAsLong``
+Spark reads it as a raw nanosecond ``long``; we rebuild a timestamp with
+**integer** division (``ts div 1000`` — float division would overflow the
+53-bit mantissa at ~1.7e18 ns and corrupt microseconds) and cast to
+``timestamp_ntz`` so values compare bit-for-bit with the DuckDB oracle's
+naive timestamps regardless of the session's later timezone (verified
+recipe, FIXTURES.md "Mandatory events load recipe").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_runtime
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one fixture table; normalizes ``events.ts`` to timestamp_ntz."""
+    configure_runtime(spark)
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
