@@ -14,19 +14,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import D_RATE, davg, dsum, money, rate
+from ..functions import (
+    D_RATE,
+    RATE_SCALE,
+    davg,
+    dec_to_double,
+    dsum,
+    dsum_expr,
+    money,
+    rate,
+    sql_davg,
+    sql_dec_sum_to_double,
+    sql_dec_to_double,
+    sql_dsum,
+)
 from ..sources import load
 from . import register
 
 # Shared revenue expression: extendedprice * (1 - discount), exact decimal.
+# Scale bookkeeping: money(12,2) * (1 ± rate(7,3)) → scale 5; charge adds
+# another rate factor → scale 8. The oracle uses the SAME scales so both
+# engines run structurally identical decimal math (determinism.py doctrine).
 def _revenue():
     return money("l_extendedprice") * (F.lit(1).cast(D_RATE) - rate("l_discount"))
 
 
 REV_SQL = (
     "CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))"
+    " * (CAST(1 AS DECIMAL(7,3)) - CAST(l_discount AS DECIMAL(7,3)))"
 )
+REV_SCALE = 5  # 2 + 3
+CHARGE_SCALE = 8  # 5 + 3
 
 
 # ---------------------------------------------------------------------------
@@ -36,13 +54,13 @@ REV_SQL = (
     "q_agg_group",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM({REV_SQL}) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM({REV_SQL} * (CAST(1 AS DECIMAL(7,4)) + CAST(l_tax AS DECIMAL(7,4)))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       {sql_dsum("l_quantity", 2, "sum_qty")},
+       {sql_dsum("l_extendedprice", 2, "sum_base_price")},
+       {sql_dec_sum_to_double(REV_SQL, REV_SCALE)} AS sum_disc_price,
+       {sql_dec_sum_to_double(f"{REV_SQL} * (CAST(1 AS DECIMAL(7,3)) + CAST(l_tax AS DECIMAL(7,3)))", CHARGE_SCALE)} AS sum_charge,
+       {sql_davg("l_quantity", 2, "avg_qty")},
+       {sql_davg("l_extendedprice", 2, "avg_price")},
+       {sql_davg("l_discount", RATE_SCALE, "avg_disc")},
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -58,11 +76,11 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            dsum_expr(_revenue(), "sum_disc_price", scale=REV_SCALE),
+            dsum_expr(charge, "sum_charge", scale=CHARGE_SCALE),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc", cast=D_RATE),
+            davg("l_discount", "avg_disc", scale=RATE_SCALE),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -73,9 +91,9 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q_project",
-    oracle="""
+    oracle=f"""
 SELECT c_custkey AS custkey, c_name,
-       CAST(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(7,4)) AS DOUBLE)
+       {sql_dec_to_double("CAST(c_acctbal AS DECIMAL(12,2)) * CAST(1.05 AS DECIMAL(7,3))", 5)}
            AS acctbal_with_bonus
 FROM customer
 """,
@@ -85,9 +103,9 @@ def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         F.col("c_custkey").alias("custkey"),
         "c_name",
-        (money("c_acctbal") * F.lit(1.05).cast(D_RATE))
-        .cast("double")
-        .alias("acctbal_with_bonus"),
+        dec_to_double(money("c_acctbal") * F.lit(1.05).cast(D_RATE), 5).alias(
+            "acctbal_with_bonus"
+        ),
     )
 
 
@@ -220,7 +238,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_star",
     oracle=f"""
 SELECT r.r_name, n.n_name,
-       CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+       {sql_dec_sum_to_double(REV_SQL, REV_SCALE)} AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem l
 JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -248,7 +266,7 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(_revenue()).cast("double").alias("revenue"),
+            dsum_expr(_revenue(), "revenue", scale=REV_SCALE),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -446,11 +464,32 @@ def q_agg_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_cd", oracle=None)  # approximate → rows-only by design
+@register(
+    "q_agg_approx_cd",
+    # HLL is approximate, so the raw estimate can't hash-match an exact
+    # oracle. Instead the query materializes the accuracy CONTRACT as a
+    # boolean: |approx - exact| <= 5% * exact (rsd=0.01 → generous slack).
+    # The oracle asserts the contract holds for every group. HLL itself is
+    # deterministic (hash-based, merge-commutative), so this is stable.
+    oracle="""
+SELECT event_type, TRUE AS within_tol FROM events GROUP BY event_type
+""",
+)
 def q_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .select(
+            "event_type",
+            (
+                F.abs(F.col("approx") - F.col("exact"))
+                <= F.col("exact") * F.lit(0.05)
+            ).alias("within_tol"),
+        )
     )
 
 

@@ -35,13 +35,24 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
 
 
+# Confs that silently change query RESULTS if they don't hold — a failed
+# set must not be swallowed (wrong timestamps are worse than a crash).
+_CRITICAL_CONFS = ("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Idempotently apply runtime confs to an existing session."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # static conf on some builds — builder path sets it instead
+            pass  # static conf on some builds — verified below for critical ones
+    for k in _CRITICAL_CONFS:
+        actual = spark.conf.get(k, None)
+        if actual != RUNTIME_CONFS[k]:
+            raise RuntimeError(
+                f"correctness-critical conf {k}={actual!r}, need {RUNTIME_CONFS[k]!r}"
+            )
     return spark
 
 
