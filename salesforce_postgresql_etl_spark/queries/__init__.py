@@ -29,6 +29,7 @@ _REGISTRY: dict[str, Query] = {}
 
 _MODULES = (
     "relational",
+    "aggregates",
     "windows",
     "scalars",
     "llm",
