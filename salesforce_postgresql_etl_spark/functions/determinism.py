@@ -52,14 +52,19 @@ def rate(c: str | Column) -> Column:
     return _col(c).cast(D_RATE)
 
 
-def dec_to_double(dec_col: Column, scale: int) -> Column:
+def dec_to_double(dec_col: Column, scale: int, prec: int = 26) -> Column:
     """Exact decimal column → double, deterministically (scheme #2).
 
     Works for aggregates and per-row values alike (a plain decimal→double
     cast is also 1-ulp unstable between engines).
+
+    ``prec`` bounds the intermediate precision: the multiply by 10^scale
+    adds ~scale digits, and DuckDB hard-errors past 38 total — so for
+    scale ≥ 10 pass a tighter prec (e.g. 18) sized to the actual value
+    range. The precision-only cast is exact as long as the value fits.
     """
     m = 10**scale
-    narrowed = dec_col.cast(f"decimal(26,{scale})")  # precision-only: exact
+    narrowed = dec_col.cast(f"decimal({prec},{scale})")  # precision-only: exact
     return (narrowed * F.lit(m)).cast("bigint") / F.lit(float(m))
 
 
@@ -93,16 +98,16 @@ def rnd(c: Column, n: int = 6) -> Column:
 # --- DuckDB-side mirrors (oracle SQL string builders) ---------------------
 
 
-def sql_dec_to_double(expr_sql: str, scale: int) -> str:
+def sql_dec_to_double(expr_sql: str, scale: int, prec: int = 26) -> str:
     m = 10**scale
     return (
-        f"CAST(CAST({expr_sql} AS DECIMAL(26,{scale})) * {m} AS BIGINT)"
+        f"CAST(CAST({expr_sql} AS DECIMAL({prec},{scale})) * {m} AS BIGINT)"
         f" / CAST({m} AS DOUBLE)"
     )
 
 
-def sql_dec_sum_to_double(inner_sql: str, scale: int) -> str:
-    return sql_dec_to_double(f"SUM({inner_sql})", scale)
+def sql_dec_sum_to_double(inner_sql: str, scale: int, prec: int = 26) -> str:
+    return sql_dec_to_double(f"SUM({inner_sql})", scale, prec)
 
 
 def sql_dsum(col_sql: str, scale: int, alias: str) -> str:

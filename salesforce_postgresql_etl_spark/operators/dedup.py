@@ -1,0 +1,130 @@
+"""Near-duplicate detection operators (SURVEY.md §2.11 L2).
+
+Two strategies behind one function, same semantics:
+
+- ``strategy="brute"``: all-pairs self-join with exact Jaccard on
+  distinct token sets. O(n²) — correct at fixture scale, and the
+  oracle-checkable form.
+- ``strategy="minhash"``: MinHash signatures + LSH banding, all with
+  built-in JVM expressions (``xxhash64`` seeded per hash function, no
+  Python UDFs, no ml.feature dependency). Candidate pairs come from a
+  bucket equi-join on (band_id, band_hash) — at 100 TB this is the
+  whole point: the only shuffle keys are narrow band buckets, never
+  the n² pair space. Candidates are then exact-Jaccard verified, so
+  the output is a SUBSET guarantee away from brute force; with the
+  default 32 hashes in 16 bands of 2 rows, the probability of missing
+  a pair at threshold 0.95 is (1 − 0.95²)¹⁶ ≈ 1e-16 — the pytest
+  asserts exact equality on the fixtures.
+
+Banding math for tuning: P(candidate | jaccard=s) = 1 − (1 − s^r)^b
+with ``n_hashes = b·r``. Raise r to cut false candidates (smaller
+buckets), raise b to cut false negatives.
+
+Tokens are lowercased whitespace words; the token-set representation
+is shared with the brute path so both strategies see identical sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_HASHES = 32
+DEFAULT_BANDS = 16  # → rows-per-band r = n_hashes // bands = 2
+
+
+def token_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, t): distinct whitespace tokens per document."""
+    return docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("t")
+    )
+
+
+def _exact_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Attach exact Jaccard to (doc_a, doc_b, t_a, t_b) rows and filter.
+
+    Integer sizes divided in double — single correctly-rounded IEEE op,
+    deterministic in any engine.
+    """
+    inter = F.size(F.array_intersect("t_a", "t_b"))
+    union = F.size("t_a") + F.size("t_b") - inter
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def neardup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    strategy: str = "brute",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """All document pairs (doc_a < doc_b) with token-set Jaccard ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard) — jaccard is the EXACT value under
+    both strategies; minhash only prunes candidates.
+    """
+    tok = token_sets(docs)
+    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+
+    if strategy == "brute":
+        pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+        return _exact_jaccard(pairs, threshold)
+
+    if strategy != "minhash":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    r = n_hashes // bands
+    if r * bands != n_hashes:
+        raise ValueError("n_hashes must be divisible by bands")
+
+    # MinHash signature: for each seed i, min over tokens of
+    # xxhash64('i:' || token). Seeding via prefix keeps everything in
+    # one JVM expression; min is a plain partial+final aggregate.
+    exploded = tok.select("doc_id", F.explode("t").alias("tok"))
+    sig_cols = [
+        F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = exploded.groupBy("doc_id").agg(*sig_cols)
+
+    # Band hashes: one row per (doc, band); bucket key is the hash of
+    # the band's r signature components.
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"h{bi * r + j}") for j in range(r)]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+    ca = band_rows.select(
+        F.col("doc_id").alias("doc_a"), "band", "bh"
+    )
+    cb = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    candidates = (
+        ca.join(cb, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    pairs = (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", "t_a", "t_b")
+    )
+    return _exact_jaccard(pairs, threshold)

@@ -1,1 +1,274 @@
-"""Placeholder — queries land incrementally."""
+"""LLM-data-pipeline queries (SURVEY.md §2.11, L1–L8).
+
+The training-data-pipeline operator set over the ``documents`` (text
+corpus) and ``embeddings`` (vector) fixtures:
+
+- L1 exact dedup by normalized content hash
+- L2 near-dup detection (token-set Jaccard; MinHash-LSH scale path in
+  ``operators.dedup``, equivalence-tested in tests/test_llm_ops.py)
+- L3 cosine top-k similarity search (IVF scale path in
+  ``operators.simsearch``, equivalence-tested)
+- L4 text statistics (token counts, uniqueness, chars/word)
+- L5 corpus bigram counts
+- L6 TF-IDF top terms per document
+- L8 per-label embedding centroids (decimal-exact means)
+
+Determinism: Jaccard and chars/word are single IEEE divisions of
+exact integers; TF-IDF uses a RATIONAL idf ``(N+1)/(df+1)`` instead of
+``ln`` — transcendental libm results differ by ulps between engines,
+a plain ratio is bit-exact and order-equivalent (monotone in df);
+vector math goes through the decimal fold (operators.simsearch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import sql_dec_sum_to_double
+from ..operators.dedup import neardup_pairs
+from ..operators.simsearch import mean_q40, sql_mean_q40, topk_cosine
+from ..sources import load
+from . import register
+
+NEARDUP_THRESHOLD = 0.95  # fixture-tuned: 1,887 pairs at sf0.01
+
+
+# ---------------------------------------------------------------------------
+# L1 — exact dedup by normalized content hash (F10 + min-per-key)
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_hash",
+    oracle="""
+SELECT md5(lower(trim(text))) AS h,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(lower(trim(text)))
+""",
+)
+def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("h", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — near-dup pairs by exact token-set Jaccard (brute registered;
+# the MinHash-LSH strategy produces identical output — see operators)
+# ---------------------------------------------------------------------------
+@register(
+    "q_neardup_jaccard",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+             FROM documents),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.t, x -> list_contains(b.t, x))) AS i,
+             len(a.t) + len(b.t)
+               - len(list_filter(a.t, x -> list_contains(b.t, x))) AS u
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+FROM p
+WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= {NEARDUP_THRESHOLD}
+""",
+)
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return neardup_pairs(d, threshold=NEARDUP_THRESHOLD, strategy="brute")
+
+
+# ---------------------------------------------------------------------------
+# L3 — cosine top-k similarity search (first 10 vectors as queries;
+# brute registered, IVF strategy equivalence-tested)
+# ---------------------------------------------------------------------------
+# float32 → DOUBLE → DECIMAL: the double hop makes both engines round
+# the same exact value (a direct float→decimal cast scales in float
+# precision in DuckDB — see operators.simsearch._dot_dec).
+_SIM_DOT = sql_dec_sum_to_double(
+    "CAST(CAST(q.v AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(c.v AS DOUBLE) AS DECIMAL(12,7))",
+    14,
+    prec=18,
+)
+_SIM_N2 = sql_dec_sum_to_double(
+    "CAST(CAST(v AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(12,7))",
+    14,
+    prec=18,
+)
+
+
+@register(
+    "q_simsearch_topk",
+    oracle=f"""
+WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings),
+norms AS (SELECT vec_id, {_SIM_N2} AS n2 FROM ex GROUP BY vec_id),
+dots AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id, {_SIM_DOT} AS dot
+         FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+         WHERE q.vec_id < 10
+         GROUP BY q.vec_id, c.vec_id),
+sims AS (SELECT d.qid, d.vec_id,
+                d.dot / (sqrt(nq.n2) * sqrt(nc.n2)) AS cosine
+         FROM dots d
+         JOIN norms nq ON nq.vec_id = d.qid
+         JOIN norms nc ON nc.vec_id = d.vec_id)
+SELECT qid, vec_id, cosine, CAST(rn AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cosine DESC, vec_id) AS rn
+      FROM sims)
+WHERE rn <= 3
+""",
+)
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    return topk_cosine(emb, queries, k=3, strategy="brute")
+
+
+# ---------------------------------------------------------------------------
+# L4 — text statistics
+# ---------------------------------------------------------------------------
+@register(
+    "q_text_stats",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+       CAST(length(text) AS INT) AS n_chars_m,
+       CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS INT) AS n_the,
+       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_word
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.length("text").alias("n_chars_m"),
+        F.size(F.filter(toks, lambda w: w == "the")).alias("n_the"),
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5 — corpus bigram counts (slice+zip_with avoids the Spark
+# sequence(1,0) descending-sequence trap on 1-word docs)
+# ---------------------------------------------------------------------------
+@register(
+    "q_ngrams",
+    oracle="""
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+big AS (SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM tok)
+SELECT bigram, COUNT(*) AS n
+FROM big
+GROUP BY bigram
+HAVING COUNT(*) >= 5
+""",
+)
+def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 — TF-IDF top-3 terms per document (rational idf for determinism)
+# ---------------------------------------------------------------------------
+@register(
+    "q_tfidf",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w),
+dfq AS (SELECT w, COUNT(*) AS dfc FROM tf GROUP BY w),
+nq AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (SELECT tf.doc_id, tf.w,
+                  CAST(tf.tf AS DOUBLE) * ((nq.n + 1.0) / (dfq.dfc + 1.0)) AS score
+           FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN nq)
+SELECT doc_id, w AS term, score, CAST(rn AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, w) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfc"))
+    nq = d.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfq, "w")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.col("tf").cast("double")
+                * ((F.col("n") + F.lit(1.0)) / (F.col("dfc") + F.lit(1.0)))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "w")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "score", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L8 — per-label embedding centroids, relational form (label, pos, mean)
+# ---------------------------------------------------------------------------
+@register(
+    "q_embed_centroid",
+    # Means use the power-of-two quantizer (operators.simsearch.mean_q40):
+    # v·2⁴⁰ is exact in double, floor has no half-boundary ambiguity, and
+    # the scaled-integer sums are order-independent — unlike a
+    # float→decimal cast, whose last-place rounding differs between
+    # engines on true half-boundaries (hit 1-in-32k on this fixture).
+    oracle=f"""
+WITH ex AS (SELECT label, unnest(embedding) AS v,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings)
+SELECT label, CAST(pos AS INT) AS pos,
+       {sql_mean_q40("v")} AS c_val,
+       COUNT(*) AS n_vecs
+FROM ex
+GROUP BY label, pos
+""",
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pos = emb.select("label", F.posexplode("embedding").alias("p0", "val"))
+    return (
+        pos.groupBy("label", (F.col("p0") + 1).alias("pos"))
+        .agg(
+            mean_q40(F.col("val")).alias("c_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

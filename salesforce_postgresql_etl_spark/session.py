@@ -19,6 +19,8 @@ Two entry paths:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -40,6 +42,41 @@ def default_parallelism() -> int:
 _CRITICAL_CONFS = ("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers (UDF paths).
+
+    The driver process may run from any cwd with the repo added to
+    sys.path manually — Python workers inherit neither, so a pickled
+    mapInPandas/pandas_udf that references this package would die with
+    ModuleNotFoundError. Shipping a zip via addPyFile fixes any
+    session, including the driver-owned one. On a real cluster the
+    same call distributes the package to executors.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-pyfiles-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        arc = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, arc)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def configure_runtime(spark: SparkSession) -> SparkSession:
     """Idempotently apply runtime confs to an existing session."""
     for k, v in RUNTIME_CONFS.items():
@@ -53,6 +90,7 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
             raise RuntimeError(
                 f"correctness-critical conf {k}={actual!r}, need {RUNTIME_CONFS[k]!r}"
             )
+    _ship_package(spark)
     return spark
 
 
