@@ -95,6 +95,28 @@ def rnd(c: Column, n: int = 6) -> Column:
     return F.round(c, n)
 
 
+def sum_pow2(c: str | Column, alias: str, bits: int = 20) -> Column:
+    """Order-independent sum of an arbitrary double column.
+
+    Scales by 2^bits (EXACT in IEEE — power-of-two multiply), floors to
+    integer (no rounding-boundary ambiguity anywhere), sums the exact
+    integers, unscales. The value is quantized at 2^-bits but both
+    engines quantize identically, unlike decimal casts of arbitrary
+    doubles. Requires |col|·2^bits · n_rows < 2^53.
+    """
+    m = float(2**bits)
+    scaled = F.floor(_col(c).cast("double") * F.lit(m))
+    return (F.sum(scaled).cast("double") / F.lit(m)).alias(alias)
+
+
+def sql_sum_pow2(col_sql: str, alias: str, bits: int = 20) -> str:
+    m = 2**bits
+    return (
+        f"CAST(SUM(CAST(floor(CAST({col_sql} AS DOUBLE) * {m}) AS BIGINT))"
+        f" AS DOUBLE) / {m}.0 AS {alias}"
+    )
+
+
 # --- DuckDB-side mirrors (oracle SQL string builders) ---------------------
 
 

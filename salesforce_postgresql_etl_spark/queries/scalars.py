@@ -104,7 +104,7 @@ SELECT o_orderkey,
        CAST(o_orderdate AS DATE) + 30 AS due_date,
        last_day(CAST(o_orderdate AS DATE)) AS month_end,
        make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_first,
-       CAST(date_part('epoch', o_orderdate) AS BIGINT) AS epoch_s
+       CAST(floor(date_part('epoch', o_orderdate)) AS BIGINT) AS epoch_s
 FROM orders
 """,
 )

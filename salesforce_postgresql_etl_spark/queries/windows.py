@@ -171,7 +171,7 @@ SELECT event_id, user_id,
        COUNT(*) OVER w AS n_1h,
        MIN(value) OVER w AS min_1h,
        MAX(value) OVER w AS max_1h
-FROM (SELECT *, CAST(date_part('epoch', ts) AS BIGINT) AS sec FROM events)
+FROM (SELECT *, CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec FROM events)
 WINDOW w AS (PARTITION BY user_id ORDER BY sec
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """,

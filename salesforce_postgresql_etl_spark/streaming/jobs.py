@@ -1,0 +1,125 @@
+"""Structured Streaming wirings (SURVEY.md §2.9).
+
+Design rule: every streaming computation is a plain DataFrame→DataFrame
+transformation function that works UNCHANGED on a batch frame and on a
+``readStream`` frame — the t2 oracle checks the batch instantiation
+(queries/stream_equiv.py registers them), and tests/test_streaming.py
+drives the same functions through a real file-source stream with an
+``availableNow`` trigger and asserts stream ≡ batch. The semantics are
+the operator; the transport (micro-batches, state store, checkpoint)
+is Spark's.
+
+At scale: file/Kafka sources shard by partition; tumbling/sliding aggs
+shuffle on (window, key) exactly like batch group-bys; watermarks bound
+the state store so a 100 TB/day stream holds only the open windows.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure_runtime
+
+# Raw parquet schema of the events fixture (ts is INT64 nanos — read as
+# long under nanosAsLong, rebuilt below exactly like sources.load).
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, src_dir: str, max_files: int | None = None) -> DataFrame:
+    """File-source stream over events parquet chunks (ns-ts normalized)."""
+    configure_runtime(spark)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    df = reader.parquet(src_dir)
+    return df.withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+    )
+
+
+# --- transformations (batch ≡ stream) --------------------------------------
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """T1: per-hour, per-type event counts + min/max value."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """T2: 1-hour windows sliding every 15 minutes (4 windows/event)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """T5: drop duplicate event_ids (exactly-once-ish by key)."""
+    return events.dropDuplicates(["event_id"])
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T3 (native form): gap-based session windows per user.
+
+    Works in batch too — tests assert it matches the lag/cumsum
+    batch-equivalent registered as q_sessionize.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("start_ts"),
+            F.col("w.end").alias("end_ts"),
+            "n_events",
+        )
+    )
+
+
+# --- stream runner ----------------------------------------------------------
+
+
+def run_available_now(
+    sdf: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain the stream with an availableNow trigger into a memory sink
+    and return the final result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

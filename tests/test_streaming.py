@@ -1,0 +1,137 @@
+"""True Structured Streaming tests (SURVEY.md §2.9 / §5.2.5).
+
+The SAME transformation functions registered as batch t2 queries are
+driven here through a real file-source stream (availableNow trigger,
+checkpointed, memory sink) and must produce identical results —
+semantics are transport-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from salesforce_postgresql_etl_spark.sources import load
+from salesforce_postgresql_etl_spark.streaming.jobs import (
+    dedup_events,
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+from .conftest import SF_DIR_TINY
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _chunked_events(spark, tmp_path, n_chunks=3):
+    """Write the tiny events fixture as several parquet chunks (raw ns
+    ts preserved as long, matching EVENTS_RAW_SCHEMA)."""
+    src = str(tmp_path / "events_chunks")
+    raw = spark.read.parquet(f"{SF_DIR_TINY}/events.parquet")  # ts read as long
+    raw.repartition(n_chunks).write.parquet(src)
+    return src
+
+
+def test_tumbling_batch_equals_stream(spark, tmp_path):
+    src = _chunked_events(spark, tmp_path)
+    batch = tumbling_counts(load(spark, SF_DIR_TINY, "events"))
+    stream = tumbling_counts(read_events_stream(spark, src))
+    got = run_available_now(stream, str(tmp_path / "ckpt_t"), "complete")
+    assert _rows(got) == _rows(batch)
+
+
+def test_sliding_batch_equals_stream(spark, tmp_path):
+    src = _chunked_events(spark, tmp_path)
+    batch = sliding_counts(load(spark, SF_DIR_TINY, "events"))
+    stream = sliding_counts(read_events_stream(spark, src))
+    got = run_available_now(stream, str(tmp_path / "ckpt_s"), "complete")
+    assert _rows(got) == _rows(batch)
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    # Duplicate the whole input: the same events arrive twice in
+    # different files; streaming dropDuplicates must keep one of each
+    # even when the duplicates land in different micro-batches.
+    src = str(tmp_path / "dup_events")
+    raw = spark.read.parquet(f"{SF_DIR_TINY}/events.parquet")
+    raw.write.parquet(src)
+    raw.write.mode("append").parquet(src)
+
+    stream = dedup_events(read_events_stream(spark, src, max_files=1)).groupBy().count()
+    got = run_available_now(stream, str(tmp_path / "ckpt_d"), "complete")
+    n_unique = spark.read.parquet(f"{SF_DIR_TINY}/events.parquet").count()
+    assert got.collect()[0][0] == n_unique
+
+
+def test_session_window_native_equals_batch_equiv(spark):
+    # F.session_window works on batch frames too: assert the native
+    # operator agrees with the lag/cumsum batch-equivalent on counts.
+    from salesforce_postgresql_etl_spark.queries.stream_equiv import q_sessionize
+
+    native = session_windows(load(spark, SF_DIR_TINY, "events"))
+    equiv = q_sessionize(spark, SF_DIR_TINY)
+    a = _rows(native.select("user_id", "start_ts", "n_events"))
+    b = _rows(equiv.select("user_id", "start_ts", "n_events"))
+    assert a == b
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    # Micro-batches with controlled arrival order (mtime +
+    # maxFilesPerTrigger=1). Spark filters late records against the
+    # PREVIOUS batch's watermark (late-event wm lags the eviction wm by
+    # one batch), so three batches are needed: b1 advances the wm,
+    # b2 is filler that lets the lagged wm catch up, b3 carries the
+    # late row — which must be dropped from the aggregation.
+    import datetime as dt
+
+    src = str(tmp_path / "late_events")
+    os.makedirs(src)
+
+    def ns(h, mi):
+        epoch = dt.datetime(2024, 1, 1, h, mi, tzinfo=dt.timezone.utc).timestamp()
+        return int(epoch) * 1_000_000_000
+
+    cols = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    batches = [
+        [  # b1: sets wm → 13:50
+            (1, ns(12, 0), 1, "click", 1.0, "{}"),
+            (2, ns(12, 5), 1, "click", 1.0, "{}"),
+            (3, ns(14, 0), 2, "click", 1.0, "{}"),
+        ],
+        [(4, ns(14, 5), 2, "click", 1.0, "{}")],  # b2: filler, on time
+        [  # b3: LATE 09:00 row + on-time row
+            (5, ns(9, 0), 3, "click", 1.0, "{}"),
+            (6, ns(14, 10), 2, "click", 1.0, "{}"),
+        ],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches, 1):
+        d = f"{src}/b{i}"
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(d)
+        for root, _dirs, files in os.walk(d):  # mtime drives file order
+            for f in files:
+                os.utime(os.path.join(root, f), (now - 300 + i * 100,) * 2)
+
+    stream = (
+        read_events_stream(spark, src + "/*", max_files=1)
+        # withWatermark requires TIMESTAMP (ntz unsupported); session is
+        # UTC so the cast is value-preserving.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    got = run_available_now(stream, str(tmp_path / "ckpt_w"), "append")
+    out = {r.ws.hour: r.n for r in got.collect()}
+    # The late 09:00 event must NOT appear; the 12:00 window keeps its
+    # 2 rows (append mode emits wm-finalized windows).
+    assert out.get(12) == 2
+    assert 9 not in out, f"late row leaked into output: {out}"
