@@ -1,1 +1,107 @@
-"""Placeholder — queries land incrementally."""
+"""Source/sink queries (SURVEY.md §2.1: S1, S3, S6, S8).
+
+S1 additionally has a plan-shape pytest (tests/test_sources.py)
+asserting the filter and projection actually reach the parquet scan
+(PushedFilters / ReadSchema) — pushdown is the scale feature, the
+row values only prove semantics.
+
+The roundtrip queries (S3 CSV, S8 parquet) write to a per-session tmp
+dir and read back — registered rows-only (the oracle can't see the
+tmp files; determinism of the VALUES is still exercised by comparing
+against the in-memory source inside the pytest).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+from ..sources.incremental import WatermarkStore, incremental_extract
+from . import register
+
+
+# ---------------------------------------------------------------------------
+# S1 — parquet scan + projection/filter pushdown
+# ---------------------------------------------------------------------------
+@register(
+    "q_scan_project",
+    oracle="""
+SELECT l_orderkey, l_extendedprice
+FROM lineitem
+WHERE l_quantity > 45.0
+""",
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    # Catalyst pushes both: ReadSchema keeps 3 of 11 columns,
+    # PushedFilters carries GreaterThan(l_quantity, 45.0) to the
+    # row-group/page level (asserted in tests/test_sources.py).
+    return l.where(F.col("l_quantity") > 45.0).select("l_orderkey", "l_extendedprice")
+
+
+def _tmp_dir(spark: SparkSession, tag: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), f"sfpg_etl_{tag}_{os.getpid()}")
+    return base
+
+
+# ---------------------------------------------------------------------------
+# S3 — CSV roundtrip (Bulk-API result-page analog). rows-only: tmp files
+# aren't visible to the oracle.
+# ---------------------------------------------------------------------------
+@register("q_csv_roundtrip", oracle=None)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    path = _tmp_dir(spark, "csv")
+    c.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.schema(c.schema)  # schema-applied ingest, no inference
+        .option("header", True)
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("key_sum"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 — parquet sink roundtrip (engine-canonical format). rows-only.
+# ---------------------------------------------------------------------------
+@register("q_parquet_roundtrip", oracle=None)
+def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    path = _tmp_dir(spark, "parquet")
+    # Partitioned sink: the layout a 100 TB table would use (partition
+    # pruning on o_orderstatus at read time).
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "O")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — incremental watermark extract (the reference's core sync loop)
+# ---------------------------------------------------------------------------
+@register(
+    "q_incremental_extract",
+    oracle="""
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+""",
+)
+def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    store = WatermarkStore(os.path.join(_tmp_dir(spark, "wm"), "state.json"))
+    os.makedirs(os.path.dirname(store.path), exist_ok=True)
+    store.set("events", "2024-01-25 00:00:00")  # fixed literal for the oracle
+    return incremental_extract(e, "ts", store, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
