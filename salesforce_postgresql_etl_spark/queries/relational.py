@@ -519,6 +519,19 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sort",
     # Value-hash is order-insensitive, so the sort is materialized into a
     # row_number column (with NULLS LAST control via a manufactured NULL).
+    #
+    # SCALE SHAPE (fixes VERDICT r1 #2): a global Window.orderBy plans a
+    # single-partition window — every row through one task. Instead the
+    # global rank is computed distributed, in two phases:
+    #   1. repartitionByRange on the sort key (the same range shuffle a
+    #      global ORDER BY uses) + sortWithinPartitions + per-partition
+    #      row_number (window partitioned by spark_partition_id →
+    #      distributed);
+    #   2. per-partition row counts (tiny: one row per partition) →
+    #      cumulative offsets → broadcast back; rank = offset + local rn.
+    # The only single-partition window runs over ~numPartitions rows.
+    # The result is identical for ANY range boundaries because the sort
+    # key (incl. unique o_orderkey tiebreak) is a total order.
     oracle="""
 WITH t AS (SELECT o_orderkey, o_totalprice, NULLIF(o_orderstatus, 'P') AS st
            FROM orders WHERE o_totalprice > 250000.0)
@@ -530,16 +543,27 @@ FROM t
 def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    keys = [F.asc_nulls_last("st"), F.desc("o_totalprice"), F.asc("o_orderkey")]
     o = (
         load(spark, sf_dir, "orders")
         .where(F.col("o_totalprice") > 250000.0)
         .withColumn("st", F.nullif(F.col("o_orderstatus"), F.lit("P")))
+        .repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("pid", F.spark_partition_id())
     )
-    w = Window.orderBy(
-        F.asc_nulls_last("st"), F.desc("o_totalprice"), F.asc("o_orderkey")
+    local_w = Window.partitionBy("pid").orderBy(*keys)
+    o = o.withColumn("lrn", F.row_number().over(local_w))
+    counts = o.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off")
     )
-    return o.select(
-        "o_orderkey", "o_totalprice", "st", F.row_number().over(w).alias("rn")
+    return o.join(F.broadcast(offsets), "pid").select(
+        "o_orderkey",
+        "o_totalprice",
+        "st",
+        (F.col("off") + F.col("lrn")).cast("int").alias("rn"),
     )
 
 
