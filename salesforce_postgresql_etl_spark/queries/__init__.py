@@ -33,6 +33,7 @@ _MODULES = (
     "windows",
     "scalars",
     "llm",
+    "llm_ext",
     "stream_equiv",
     "udfs",
     "sources_q",

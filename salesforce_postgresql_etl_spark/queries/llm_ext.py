@@ -1,0 +1,323 @@
+"""Extended training-data-pipeline operators: SimHash, char-n-gram
+Jaccard, embedding-cosine near-dup, language-ID, quality scoring,
+document fingerprinting.
+
+Cross-engine hash parity: every hashed quantity here goes through
+``md5`` — the ONLY hash both Spark and DuckDB implement identically
+(xxhash64/hash() differ per engine). Seeds are string prefixes
+(``"<i>:" || token``), keeping everything in JVM expressions.
+
+Scale shapes:
+- SimHash: one explode + one 32-column partial+final aggregate — a
+  single shuffle on doc_id; bucket sizes via a window on the (tiny)
+  signature space. Near-dup candidates at 100 TB = equality join on
+  the signature (or banded sub-signatures for Hamming distance > 0).
+- n-gram Jaccard: the shingle-join form IS the scale path (the join
+  key is the shingle — blocking comes free, no O(n²) pair space).
+- cosine near-dup: brute pairwise here; the IVF/LSH pruning story is
+  operators/simsearch.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.simsearch import with_sq_norm, _dot_dec
+from ..sources import load
+from . import register
+
+N_PLANES = 32
+NGRAM_THETA = 0.8  # fixture-tuned: 25 pairs at sf0.01
+COS_THETA = 0.4  # fixture-tuned: 59 pairs at sf0.01
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures + bucket sizes
+# ---------------------------------------------------------------------------
+def _simhash_plane_sql(i: int) -> str:
+    return (
+        f"SUM(CASE WHEN substring(md5('{i}:' || tok), 1, 1) < '8' "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             FROM documents),
+s AS (SELECT doc_id, {", ".join(_simhash_plane_sql(i) for i in range(N_PLANES))}
+      FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id,
+               {" + ".join(f"(CASE WHEN s{i} > 0 THEN 1 ELSE 0 END) * {1 << i}" for i in range(N_PLANES))}
+                   AS simhash
+        FROM s)
+SELECT doc_id, CAST(simhash AS BIGINT) AS simhash,
+       COUNT(*) OVER (PARTITION BY simhash) AS n_bucket
+FROM sig
+"""
+
+
+@register("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    planes = [
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))), 1, 1) < "8", 1
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(N_PLANES)
+    ]
+    s = tok.groupBy("doc_id").agg(*planes)
+    sig = None
+    for i in range(N_PLANES):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    out = s.select("doc_id", sig.cast("bigint").alias("simhash"))
+    return out.withColumn(
+        "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-5-gram (shingle) Jaccard near-dup — shingle-join form
+# ---------------------------------------------------------------------------
+@register(
+    "q_neardup_ngram",
+    oracle=f"""
+WITH sh AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, length(text) - 3),
+                                                       i -> substring(text, i, 5)))) AS g
+            FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {NGRAM_THETA}
+""",
+)
+def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("g"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sza), "doc_a")
+        .join(F.broadcast(szb), "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= NGRAM_THETA)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (decimal-exact pairwise cosine ≥ θ)
+# ---------------------------------------------------------------------------
+from ..functions import sql_dec_sum_to_double
+
+_NE_DOT = sql_dec_sum_to_double(
+    "CAST(CAST(q.v AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(c.v AS DOUBLE) AS DECIMAL(12,7))",
+    14,
+    prec=18,
+)
+_NE_N2 = sql_dec_sum_to_double(
+    "CAST(CAST(v AS DOUBLE) AS DECIMAL(12,7)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(12,7))",
+    14,
+    prec=18,
+)
+
+
+@register(
+    "q_neardup_embed",
+    oracle=f"""
+WITH ex AS (SELECT vec_id, unnest(embedding) AS v,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings),
+n2 AS (SELECT vec_id, {_NE_N2} AS n2
+       FROM ex GROUP BY vec_id),
+d AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_NE_DOT} AS dot
+      FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id < c.vec_id
+      GROUP BY 1, 2)
+SELECT vec_a, vec_b, d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+FROM d JOIN n2 na ON na.vec_id = vec_a JOIN n2 nb ON nb.vec_id = vec_b
+WHERE d.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {COS_THETA}
+""",
+)
+def q_neardup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = with_sq_norm(emb).select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("sq_norm").alias("n_a"),
+    )
+    b = with_sq_norm(emb).select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("sq_norm").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = _dot_dec(F.col("e_a"), F.col("e_b")) / (F.sqrt("n_a") * F.sqrt("n_b"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= COS_THETA)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID (marker-word heuristic) — the MECHANISM is the operator;
+# the fixture's text is one shared vocabulary, so accuracy is not the
+# point (both engines agree on every prediction, which is).
+# ---------------------------------------------------------------------------
+_MARKERS = {
+    "en": ("the", "a"),
+    "de": ("der", "die", "das"),
+    "es": ("el", "los"),
+    "fr": ("le", "les"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({lst}))) AS s_{lang}"
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+WITH s AS (SELECT doc_id, lang, {", ".join(_marker_sql(lg) for lg in _MARKERS)}
+           FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+            WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM s
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def _score(ws):
+        # Column.isin is not usable inside HOF lambdas — OR-chain instead.
+        # NB: the predicate must be UNARY (pyspark inspects arity; a
+        # default arg would be bound to the element index).
+        def match(t):
+            cond = t == ws[0]
+            for w in ws[1:]:
+                cond = cond | (t == w)
+            return cond
+
+        return F.size(F.filter(toks, match))
+
+    scores = {lg: _score(ws) for lg, ws in _MARKERS.items()}
+    s = d.select(
+        "doc_id", "lang", *[scores[lg].alias(f"s_{lg}") for lg in _MARKERS]
+    )
+    en, de, es, fr = (F.col(f"s_{lg}") for lg in ("en", "de", "es", "fr"))
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr) & (en > 0), "en")
+        .when((de >= es) & (de >= fr) & (de > 0), "de")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return s.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — exact integer ratios combined with a fixed double
+# expression (identical op sequence both engines → bit-equal)
+# ---------------------------------------------------------------------------
+@register(
+    "q_quality_score",
+    oracle="""
+WITH m AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+                  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+           FROM documents)
+SELECT doc_id, n_words,
+       0.5 * (CAST(n_uniq AS DOUBLE) / n_words)
+       + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+       + 0.2 * (1.0 - CAST(n_stop AS DOUBLE) / n_words) AS quality
+FROM m
+""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    quality = (
+        F.lit(0.5) * (F.col("n_uniq").cast("double") / F.col("n_words"))
+        + F.lit(0.3)
+        * F.least(F.col("n_words").cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_words"))
+    )
+    return m.select("doc_id", "n_words", quality.alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting — min-hash-of-shingles family (4 seeded md5
+# minima over char-5-grams; the winnowing/rolling-hash analog)
+# ---------------------------------------------------------------------------
+@register(
+    "q_fingerprint",
+    oracle="""
+WITH sh AS (SELECT doc_id,
+                   unnest(list_distinct(list_transform(range(1, length(text) - 3),
+                                                       i -> substring(text, i, 5)))) AS g
+            FROM documents)
+SELECT doc_id,
+       MIN(md5('0:' || g)) AS fp0,
+       MIN(md5('1:' || g)) AS fp1,
+       MIN(md5('2:' || g)) AS fp2,
+       MIN(md5('3:' || g)) AS fp3
+FROM sh
+GROUP BY doc_id
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    shingles = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("g"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"fp{i}")
+            for i in range(4)
+        ]
+    )
