@@ -82,6 +82,28 @@ def test_session_window_native_equals_batch_equiv(spark):
     assert a == b
 
 
+def test_stream_static_join(spark, tmp_path):
+    # T7: enrich a stream with a static dimension — the static side is
+    # re-read per micro-batch; result must equal the batch join.
+    src = _chunked_events(spark, tmp_path, n_chunks=2)
+    static_dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("signup", "growth"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    def enrich(events):
+        return (
+            events.join(static_dim, "event_type", "left")
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    batch = enrich(load(spark, SF_DIR_TINY, "events"))
+    got = run_available_now(
+        enrich(read_events_stream(spark, src)), str(tmp_path / "ckpt_j"), "complete"
+    )
+    assert _rows(got) == _rows(batch)
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     # Micro-batches with controlled arrival order (mtime +
     # maxFilesPerTrigger=1). Spark filters late records against the
