@@ -102,6 +102,37 @@ def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """T6 true transport: custom per-key state via applyInPandasWithState.
+
+    Keeps one counter + running value total per user in the state
+    store across micro-batches and emits the updated totals each
+    batch (update mode). The batch-equivalent semantics are
+    q_state_running's final rows per user.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # power-of-two quantization, same doctrine as sum_pow2
+            total += float((pdf["value"] * (2**20)).astype("int64").sum()) / (2**20)
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --- stream runner ----------------------------------------------------------
 
 

@@ -20,6 +20,7 @@ from salesforce_postgresql_etl_spark.streaming.jobs import (
     run_available_now,
     session_windows,
     sliding_counts,
+    stateful_user_counts,
     tumbling_counts,
 )
 
@@ -102,6 +103,29 @@ def test_stream_static_join(spark, tmp_path):
         enrich(read_events_stream(spark, src)), str(tmp_path / "ckpt_j"), "complete"
     )
     assert _rows(got) == _rows(batch)
+
+
+def test_stateful_counts_across_microbatches(spark, tmp_path):
+    # T6 true transport: state survives micro-batch boundaries. With
+    # maxFilesPerTrigger=1 each chunk is its own batch; the LAST update
+    # emitted per user must equal the batch-mode totals.
+    src = _chunked_events(spark, tmp_path, n_chunks=3)
+    stream = stateful_user_counts(read_events_stream(spark, src, max_files=1))
+    got = run_available_now(stream, str(tmp_path / "ckpt_st"), "update")
+    # update-mode memory sink appends every emission; the max n_events
+    # per user is the final state.
+    final = {
+        r.user_id: r.n_events
+        for r in got.orderBy("n_events").collect()  # later rows overwrite
+    }
+    batch = {
+        r.user_id: r.n
+        for r in load(spark, SF_DIR_TINY, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == batch
 
 
 def test_watermark_drops_late_rows(spark, tmp_path):
