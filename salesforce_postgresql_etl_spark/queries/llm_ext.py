@@ -290,6 +290,26 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L7 — multimodal feature extraction as a queries() entry (rows-only:
+# the synthesized binary payloads aren't visible to the oracle; values
+# are deterministic and the carriage mechanics are pytest-verified in
+# tests/test_llm_ops.py)
+# ---------------------------------------------------------------------------
+@register("q_multimodal_features", oracle=None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=64).repartition(4, "kind")
+    feats = extract_features(media, fake=True)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("content_id").alias("n_distinct"),
+        F.sum(F.coalesce(F.col("n_pixels"), F.lit(0))).alias("total_pixels"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprinting — min-hash-of-shingles family (4 seeded md5
 # minima over char-5-grams; the winnowing/rolling-hash analog)
 # ---------------------------------------------------------------------------

@@ -70,6 +70,22 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S3b — JSON roundtrip (REST page payload analog). rows-only.
+# ---------------------------------------------------------------------------
+@register("q_json_roundtrip", oracle=None)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "props")
+    path = _tmp_dir(spark, "json")
+    e.write.mode("overwrite").json(path)
+    back = spark.read.schema(e.schema).json(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("key_sum"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # S8 — parquet sink roundtrip (engine-canonical format). rows-only.
 # ---------------------------------------------------------------------------
 @register("q_parquet_roundtrip", oracle=None)
