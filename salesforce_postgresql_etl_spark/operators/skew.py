@@ -1,0 +1,70 @@
+"""Skew mitigation operators (SCALE.md; SURVEY.md §4.2).
+
+AQE's skew-join split handles most cases automatically
+(``spark.sql.adaptive.skewJoin.enabled``), but two explicit shapes are
+worth owning for the pathological hot-key cases AQE can't fix (a
+single key holding >1 executor's worth of rows):
+
+- ``salted_agg``: two-phase aggregation — partial agg on
+  (key, salt) spreads one hot key over ``n_salts`` reducers, then a
+  final merge on key. Correct for any decomposable aggregate
+  (count/sum/min/max here); result is identical for ANY salt
+  assignment, so the salt can be arbitrary (partition-local ids).
+- ``salted_join``: replicate the small side ``n_salts`` times with an
+  explicit salt column, salt the big side deterministically, join on
+  (key, salt) — one hot key's rows land in n_salts different reducers
+  instead of one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame, key_cols: list[str], val_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase count+sum per key, hot keys spread across n_salts tasks.
+
+    The sum goes through DECIMAL so partial→final re-aggregation is
+    exact (the same determinism doctrine as everywhere else).
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(val_col).cast("decimal(18,2)")).alias("_s"),
+        )
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").cast("decimal(20,2)").alias("sum_val"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Equi join with the small side replicated n_salts times.
+
+    Use when the small side is too large to broadcast and the big
+    side's key distribution has hot keys. Shuffle key becomes
+    (key, salt): a hot key fans out over n_salts reducers.
+    """
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    cond = (salted_big[big_key] == salted_small[small_key]) & (
+        salted_big["_salt"] == salted_small["_salt"]
+    )
+    return salted_big.join(salted_small, cond).drop("_salt")
