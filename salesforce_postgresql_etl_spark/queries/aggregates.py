@@ -191,10 +191,14 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q_agg_arrays",
+    # collect_list/collect_set are shuffle-order-nondeterministic, so the
+    # arrays are sorted before serialization; the '|'-join makes the
+    # registered output scalar (the driver's pandas canonicalizer crashes
+    # on list-typed cells — unhashable in sort_values).
     oracle="""
 SELECT c_nationkey,
-       list_sort(list(c_mktsegment)) AS segments,
-       list_sort(list(DISTINCT c_mktsegment)) AS distinct_segments,
+       array_to_string(list_sort(list(c_mktsegment)), '|') AS segments,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS distinct_segments,
        COUNT(*) AS n
 FROM customer
 GROUP BY c_nationkey
@@ -203,8 +207,12 @@ GROUP BY c_nationkey
 def q_agg_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_list("c_mktsegment")).alias("segments"),
-        F.array_sort(F.collect_set("c_mktsegment")).alias("distinct_segments"),
+        F.array_join(F.array_sort(F.collect_list("c_mktsegment")), "|").alias(
+            "segments"
+        ),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+            "distinct_segments"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 
