@@ -30,6 +30,8 @@ def salted_agg(
     The sum goes through DECIMAL so partial→final re-aggregation is
     exact (the same determinism doctrine as everywhere else).
     """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     partial = (
         df.withColumn("_salt", salt)
@@ -51,13 +53,28 @@ def salted_join(
     big_key: str,
     small_key: str,
     n_salts: int = 16,
+    how: str = "inner",
 ) -> DataFrame:
     """Equi join with the small side replicated n_salts times.
 
     Use when the small side is too large to broadcast and the big
     side's key distribution has hot keys. Shuffle key becomes
     (key, salt): a hot key fans out over n_salts reducers.
+
+    Only ``inner`` and ``left`` are valid: the big side carries exactly
+    one salt per row, so big-side-preserving joins stay correct, but
+    right/full/semi/anti against the REPLICATED small side would emit
+    each unmatched small row ``n_salts`` times — refuse rather than
+    silently multiply rows.
     """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got {how!r}: the small "
+            "side is replicated n_salts times, so small-side-preserving "
+            "join types would duplicate unmatched small rows"
+        )
     salted_small = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
@@ -67,4 +84,4 @@ def salted_join(
     cond = (salted_big[big_key] == salted_small[small_key]) & (
         salted_big["_salt"] == salted_small["_salt"]
     )
-    return salted_big.join(salted_small, cond).drop("_salt")
+    return salted_big.join(salted_small, cond, how).drop("_salt")

@@ -42,7 +42,7 @@ def default_parallelism() -> int:
 _CRITICAL_CONFS = ("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -55,7 +55,10 @@ def _ship_package(spark: SparkSession) -> None:
     session, including the driver-owned one. On a real cluster the
     same call distributes the package to executors.
     """
-    key = id(spark)
+    # applicationId is unique per SparkContext — id(spark) could be
+    # reused by a new session after the old one is garbage-collected,
+    # silently skipping addPyFile for the new context.
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))

@@ -115,10 +115,17 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
 
     def update(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0.0)
+        import numpy as np
+
         for pdf in pdfs:
             n += len(pdf)
-            # power-of-two quantization, same doctrine as sum_pow2
-            total += float((pdf["value"] * (2**20)).astype("int64").sum()) / (2**20)
+            # power-of-two quantization, same doctrine as sum_pow2:
+            # FLOOR, not truncate-toward-zero — astype('int64') alone
+            # would diverge from the batch quantizer on negative values
+            total += (
+                float(np.floor(pdf["value"] * (2**20)).astype("int64").sum())
+                / (2**20)
+            )
         state.update((n, total))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_value": [total]}

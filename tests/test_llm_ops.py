@@ -132,3 +132,19 @@ def test_multimodal_decode_stub_raises(spark):
     media = synth_media(spark, n=4)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         extract_features(media, fake=False).collect()
+
+
+def test_shingles_guard_short_texts(spark):
+    """Spark's sequence(1, L-4) DESCENDS for L<5 (phantom shingles where
+    DuckDB range() yields none) — _SHINGLES5 must emit an empty array."""
+    from pyspark.sql import functions as F
+
+    from salesforce_postgresql_etl_spark.queries.llm_ext import _SHINGLES5
+
+    df = spark.createDataFrame(
+        [("", ), ("a",), ("abcd",), ("abcde",), ("abcdef",)], "text string"
+    )
+    got = {r.text: r.sh for r in df.select("text", _SHINGLES5.alias("sh")).collect()}
+    assert got[""] == [] and got["a"] == [] and got["abcd"] == []
+    assert got["abcde"] == ["abcde"]
+    assert sorted(got["abcdef"]) == ["abcde", "bcdef"]

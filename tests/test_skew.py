@@ -38,6 +38,94 @@ def test_salted_agg_equals_plain(spark, skewed):
     assert plain[0][0] == 9000  # the hot key really is hot
 
 
+def test_salted_agg_empty_input(spark):
+    df = spark.createDataFrame([], "k long, v double")
+    assert salted_agg(df, ["k"], "v").collect() == []
+
+
+def test_salted_agg_all_one_key_and_more_salts_than_rows(spark):
+    df = spark.createDataFrame([(7, 1.5), (7, 2.5), (7, 3.0)], "k long, v double")
+    rows = salted_agg(df, ["k"], "v", n_salts=64).collect()
+    assert len(rows) == 1
+    assert rows[0].k == 7 and rows[0].n == 3 and float(rows[0].sum_val) == 7.0
+
+
+def test_salted_agg_rejects_bad_salts(spark):
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_agg(df, ["k"], "v", n_salts=0)
+
+
+def test_salted_join_empty_sides(spark):
+    big = spark.createDataFrame([], "k long, v double")
+    dim = spark.createDataFrame([(1, "d1")], "dk long, dname string")
+    assert salted_join(big, dim, "k", "dk").collect() == []
+    big2 = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    empty_dim = spark.createDataFrame([], "dk long, dname string")
+    assert salted_join(big2, empty_dim, "k", "dk").collect() == []
+
+
+def test_salted_join_left_preserves_unmatched_big(spark):
+    big = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    dim = spark.createDataFrame([(1, "d1")], "dk long, dname string")
+    rows = sorted(
+        (r.k, r.dname)
+        for r in salted_join(big, dim, "k", "dk", n_salts=8, how="left")
+        .select("k", "dname")
+        .collect()
+    )
+    assert rows == [(1, "d1"), (2, None)]
+
+
+def test_salted_join_refuses_small_side_preserving_types(spark):
+    big = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    dim = spark.createDataFrame([(1, "d1")], "dk long, dname string")
+    for how in ("right", "full", "left_semi", "left_anti", "cross"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, dim, "k", "dk", how=how)
+
+
+def _plain_agg(pairs):
+    out = {}
+    for k, v in pairs:
+        n, s = out.get(k, (0, 0))
+        out[k] = (n + 1, s + round(v * 100))  # cents, exact
+    return out
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PAIRS = st.lists(
+    st.tuples(
+        st.integers(min_value=-3, max_value=3),
+        st.decimals(
+            min_value=-100, max_value=100, places=2, allow_nan=False
+        ).map(float),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=_PAIRS)
+def test_salted_agg_property_random_multisets(spark, pairs):
+    """salted_agg is result-identical to a plain per-key count/sum for
+    arbitrary multisets — including empty input, negative values,
+    single-key pileups, and n_salts (41) > n_rows."""
+    df = spark.createDataFrame(pairs or [], "k long, v double")
+    got = {
+        r.k: (r.n, int(round(float(r.sum_val) * 100)))
+        for r in salted_agg(df, ["k"], "v", n_salts=41).collect()
+    }
+    assert got == _plain_agg(pairs)
+
+
 def test_salted_join_equals_plain(spark, skewed):
     dim = spark.range(51).select(
         F.col("id").alias("dk"), F.concat(F.lit("d"), F.col("id")).alias("dname")
