@@ -88,13 +88,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark's sequence(1, L-4) DESCENDS for L < 5 ([1, 0] for L=1), emitting
 # phantom shingles where DuckDB's range() yields none — guard short texts
 # to an empty array (explode then drops them, matching unnest).
-_SHINGLES5 = F.array_distinct(
-    F.expr(
-        "CASE WHEN length(text) >= 5 "
-        "THEN transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) "
-        "ELSE CAST(array() AS ARRAY<STRING>) END"
+# A function, not a module constant: F.expr needs a live SparkContext.
+def _shingles5():
+    return F.array_distinct(
+        F.expr(
+            "CASE WHEN length(text) >= 5 "
+            "THEN transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
     )
-)
 @register(
     "q_neardup_ngram",
     oracle=f"""
@@ -116,7 +118,7 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {NGRAM_THETA}
 )
 def q_neardup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_SHINGLES5).alias("g"))
+    sh = d.select("doc_id", F.explode(_shingles5()).alias("g"))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "g")
     b = sh.select(F.col("doc_id").alias("doc_b"), "g")
@@ -338,7 +340,7 @@ GROUP BY doc_id
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_SHINGLES5).alias("g"))
+    sh = d.select("doc_id", F.explode(_shingles5()).alias("g"))
     return sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("g")))).alias(f"fp{i}")

@@ -139,12 +139,12 @@ def test_shingles_guard_short_texts(spark):
     DuckDB range() yields none) — _SHINGLES5 must emit an empty array."""
     from pyspark.sql import functions as F
 
-    from salesforce_postgresql_etl_spark.queries.llm_ext import _SHINGLES5
+    from salesforce_postgresql_etl_spark.queries.llm_ext import _shingles5
 
     df = spark.createDataFrame(
         [("", ), ("a",), ("abcd",), ("abcde",), ("abcdef",)], "text string"
     )
-    got = {r.text: r.sh for r in df.select("text", _SHINGLES5.alias("sh")).collect()}
+    got = {r.text: r.sh for r in df.select("text", _shingles5().alias("sh")).collect()}
     assert got[""] == [] and got["a"] == [] and got["abcd"] == []
     assert got["abcde"] == ["abcde"]
     assert sorted(got["abcdef"]) == ["abcde", "bcdef"]

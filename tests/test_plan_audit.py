@@ -1,0 +1,112 @@
+"""Mechanical SCALE.md invariants: every registered query's physical
+plan is audited for the shapes that would break at 100 TB.
+
+Invariants (plans/audit.py):
+
+- NO CartesianProduct anywhere — deliberate pairwise baselines plan as
+  BroadcastNestedLoopJoin with a tiny build side instead.
+- NO row-at-a-time Python (BatchEvalPython) except X1's deliberate
+  slow-path demonstration.
+- Exchange SinglePartition only where the funneled data is provably
+  tiny: the 1-row final combine of a global aggregate, q_sort's
+  numPartitions-row offsets frame, q_tfidf's corpus-N scalar, and the
+  roundtrip queries' single-file test writes.
+- BroadcastNestedLoopJoin only where the build side is dimension-tiny
+  or the query is a documented O(n²) oracle baseline whose scale
+  replacement ships alongside (LSH/IVF, operators/{dedup,simsearch}).
+
+Anything new that violates these fails here FIRST, not in a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from salesforce_postgresql_etl_spark.plans.audit import audit
+from salesforce_postgresql_etl_spark.queries import registry
+
+from .conftest import SF_DIR
+
+_REG = registry()
+_ALL = sorted(_REG)
+
+# query -> max allowed Exchange SinglePartition nodes, with the reason
+# the funneled data is small enough not to matter at scale.
+_SP_ALLOWED = {
+    "q_agg_global": (1, "global aggregate final combine (1 row/partition in)"),
+    "q_filter_null": (1, "global aggregate final combine"),
+    "q_sort": (1, "cumulative-offsets frame over numPartitions rows"),
+    "q_tfidf": (1, "corpus-N scalar (1 row) broadcast back"),
+    "q_csv_roundtrip": (1, "single-file test write"),
+    "q_json_roundtrip": (1, "single-file test write"),
+    "q_parquet_roundtrip": (1, "single-file test write"),
+}
+
+# queries allowed a BroadcastNestedLoopJoin: non-equi band joins with a
+# dimension-tiny build side, or documented brute-force oracle baselines.
+_BNL_ALLOWED = {
+    "q_join_range",  # band join, 4-row band dim broadcast
+    "q_join_cross",  # deliberate cross of two 5-25 row dims
+    "q_neardup_jaccard",  # brute oracle baseline; scale path = MinHash+LSH
+    "q_neardup_embed",  # brute oracle baseline; scale path = IVF/LSH
+    "q_simsearch_topk",  # brute top-k baseline; scale path = IVF probe
+    "q_tfidf",  # 1-row corpus-N joined to every doc
+}
+
+_ROW_UDF_ALLOWED = {"q_udf_scalar"}  # X1: the slow path, demonstrated once
+
+
+@pytest.fixture(scope="module")
+def audits(spark):
+    return {name: audit(_REG[name].fn(spark, SF_DIR)) for name in _ALL}
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_no_cartesian_product(name, audits):
+    a = audits[name]
+    assert a.cartesian == 0, (
+        f"[{name}] CartesianProduct in plan — O(n²) shuffle-free blowup "
+        f"at scale:\n{a.plan}"
+    )
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_no_row_python_udf(name, audits):
+    a = audits[name]
+    allowed = 1 if name in _ROW_UDF_ALLOWED else 0
+    assert a.row_udf <= allowed, (
+        f"[{name}] BatchEvalPython (row-at-a-time Python) in plan — use "
+        f"pandas UDFs / built-ins:\n{a.plan}"
+    )
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_single_partition_funnels_bounded(name, audits):
+    a = audits[name]
+    allowed, why = _SP_ALLOWED.get(name, (0, "no funnel expected"))
+    assert a.single_partition <= allowed, (
+        f"[{name}] {a.single_partition} Exchange SinglePartition node(s), "
+        f"allowed {allowed} ({why}) — a full-data single-partition funnel "
+        f"dies at scale:\n{a.plan}"
+    )
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_nested_loop_joins_allowlisted(name, audits):
+    a = audits[name]
+    if name in _BNL_ALLOWED:
+        return
+    assert a.bnl_joins == 0, (
+        f"[{name}] unexpected BroadcastNestedLoopJoin — non-equi or "
+        f"cross join sneaked into a scale path:\n{a.plan}"
+    )
+
+
+def test_every_query_scans_parquet_not_collects(audits):
+    """Every registered query's plan contains at least one FileScan or
+    an in-memory scan of synthesized input — i.e. the operator is a
+    distributed plan, not driver-side compute."""
+    for name, a in audits.items():
+        assert a.scans > 0 or "Scan ExistingRDD" in a.plan or "LocalTableScan" in a.plan, (
+            f"[{name}] no scan node in plan?\n{a.plan}"
+        )
