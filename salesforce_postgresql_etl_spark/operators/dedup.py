@@ -12,9 +12,10 @@ Two strategies behind one function, same semantics:
   whole point: the only shuffle keys are narrow band buckets, never
   the n² pair space. Candidates are then exact-Jaccard verified, so
   the output is a SUBSET guarantee away from brute force; with the
-  default 32 hashes in 16 bands of 2 rows, the probability of missing
-  a pair at threshold 0.95 is (1 − 0.95²)¹⁶ ≈ 1e-16 — the pytest
-  asserts exact equality on the fixtures.
+  default 64 hashes in 8 bands of 8 rows, the probability of missing
+  a pair at threshold 0.95 is (1 − 0.95⁸)⁸ ≈ 1.6e-4 — rare enough
+  that the pytest asserts exact equality on the fixtures (the check
+  is deterministic: all hash seeds are fixed).
 
 Banding math for tuning: P(candidate | jaccard=s) = 1 − (1 − s^r)^b
 with ``n_hashes = b·r``. Raise r to cut false candidates (smaller
@@ -28,9 +29,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-DEFAULT_N_HASHES = 32
-DEFAULT_BANDS = 16  # → rows-per-band r = n_hashes // bands = 2
+# 64 hashes in 8 bands of r=8. Tuned against the fixture corpus, whose
+# pair-similarity mass is adversarially dense (median pair Jaccard 0.63,
+# 24% of pairs ≥ 0.8 at sf0.01): r=2 admitted ~96% of ALL pairs as
+# candidates (the bucket join degenerated to brute force at 60× the
+# cost); r=8 cuts the sub-0.8 mass to <20% while keeping the miss
+# probability at the 0.95 threshold ≈ (1−0.95⁸)⁸ ≈ 1.6e-4 per pair —
+# small enough that minhash ≡ brute still holds exactly on the fixtures
+# (asserted in tests/test_llm_ops.py, deterministic: seeds are fixed).
+DEFAULT_N_HASHES = 64
+DEFAULT_BANDS = 8  # → rows-per-band r = n_hashes // bands = 8
 
 
 def token_sets(docs: DataFrame) -> DataFrame:
@@ -61,13 +71,25 @@ def neardup_pairs(
     strategy: str = "brute",
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
+    persist: bool = True,
 ) -> DataFrame:
     """All document pairs (doc_a < doc_b) with token-set Jaccard ≥ threshold.
 
     Returns (doc_a, doc_b, jaccard) — jaccard is the EXACT value under
     both strategies; minhash only prunes candidates.
+
+    ``persist`` (minhash only): the token-set and band-row tables are
+    each referenced on BOTH sides of a self-join, and Spark computes a
+    subtree once per reference — persisting them halves the work (this
+    is also how production LSH runs: signatures materialized once).
+    A persisted table additionally carries exact size stats, so the
+    planner auto-broadcasts the verify join when the corpus is small
+    and keeps a shuffle join when it isn't. Pass False for one-shot
+    semantics with zero cache residue.
     """
     tok = token_sets(docs)
+    if strategy == "minhash" and persist:
+        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
     a = tok.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
     b = tok.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
 
@@ -110,6 +132,8 @@ def neardup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh")
+    if persist:
+        band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
 
     ca = band_rows.select(
         F.col("doc_id").alias("doc_a"), "band", "bh"

@@ -110,12 +110,19 @@ def topk_cosine(
     k: int = 3,
     strategy: str = "brute",
     nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k nearest corpus vectors per query vector, by cosine.
 
     ``emb``: (vec_id, embedding, label); ``queries``: (qid, q_emb).
     Returns (qid, vec_id, cosine, rnk) with rnk 1..k, self-matches
     excluded, ties broken by vec_id.
+
+    ``centroids``: optional prebuilt (label, centroid) table for the
+    IVF path. In production the index is trained offline and probes are
+    online — passing a persisted centroid table here skips the
+    per-query-batch training scan (the bench measures probe-only cost
+    this way). ``None`` trains from ``emb`` inline.
     """
     corpus = with_sq_norm(emb).select(
         "vec_id", "label", F.col("embedding").alias("c_emb"), F.col("sq_norm").alias("c_n2")
@@ -125,7 +132,7 @@ def topk_cosine(
     )
 
     if strategy == "ivf":
-        cents = label_centroids(emb)
+        cents = centroids if centroids is not None else label_centroids(emb)
         # Rank centroids per query by cosine (same exact math), keep
         # the nprobe closest labels, then search only those lists.
         qc = q.crossJoin(F.broadcast(cents)).withColumn(

@@ -1,19 +1,25 @@
-"""JDBC source/sink + PostgreSQL upsert (SURVEY.md §2.1 S4/S5, §2.9 T8).
+"""JDBC source/sink + server-side upsert (SURVEY.md §2.1 S4/S5, §2.9 T8).
 
-Design-complete but environment-gated: this container has no
-PostgreSQL server and no JDBC driver jar, so the integration test is
-skipped (tests/test_sources.py::test_jdbc_roundtrip). The code paths
-are the standard production shapes:
+The code paths are the standard production shapes:
 
 - full load: ``df.write.jdbc`` with mode=overwrite (Spark emits the
   DDL from df.schema; partitioned writes parallelize the inserts).
 - incremental upsert: Spark has no MERGE for JDBC, so write the batch
-  to a staging table, then execute one
-  ``INSERT ... ON CONFLICT (key) DO UPDATE`` statement server-side —
-  idempotent, single round-trip, and the only scalable shape (per-row
-  upserts from executors would serialize on row locks).
+  to a staging table, then execute ONE server-side statement —
+  ``INSERT ... ON CONFLICT (key) DO UPDATE`` on PostgreSQL, ANSI
+  ``MERGE INTO`` elsewhere — idempotent, single round-trip, and the
+  only scalable shape (per-row upserts from executors would serialize
+  on row locks).
 - streaming: ``foreachBatch(upsert_microbatch)`` reuses the same path
   per micro-batch (T8).
+
+Integration coverage: the PostgreSQL dialect is environment-gated (no
+PG server in this container; tests/test_sources.py::test_jdbc_roundtrip
+stays skipped), but the full write→read→upsert cycle IS exercised
+against embedded Derby — Spark bundles the Derby jars — using the ANSI
+MERGE dialect (test_jdbc_derby_roundtrip). Identifiers are quoted in
+the generated SQL because Spark's JDBC writer creates case-sensitive
+lowercase column names.
 """
 
 from __future__ import annotations
@@ -42,20 +48,52 @@ def write_full(df: DataFrame, url: str, table: str, props: dict) -> None:
     )
 
 
+def _q(ident: str) -> str:
+    return '"' + ident.replace('"', '""') + '"'
+
+
 def _upsert_sql(table: str, staging: str, cols: list[str], key_cols: list[str]) -> str:
-    collist = ", ".join(cols)
-    keylist = ", ".join(key_cols)
-    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in cols if c not in key_cols)
+    """PostgreSQL dialect: INSERT ... ON CONFLICT DO UPDATE."""
+    collist = ", ".join(_q(c) for c in cols)
+    keylist = ", ".join(_q(c) for c in key_cols)
+    sets = ", ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in cols if c not in key_cols)
     return (
         f"INSERT INTO {table} ({collist}) SELECT {collist} FROM {staging} "
         f"ON CONFLICT ({keylist}) DO UPDATE SET {sets}"
     )
 
 
+def _merge_sql(table: str, staging: str, cols: list[str], key_cols: list[str]) -> str:
+    """ANSI MERGE dialect (Derby, SQL Server, Oracle, DB2...)."""
+    on = " AND ".join(f"t.{_q(c)} = s.{_q(c)}" for c in key_cols)
+    sets = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in cols if c not in key_cols)
+    collist = ", ".join(_q(c) for c in cols)
+    vals = ", ".join(f"s.{_q(c)}" for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
+    )
+
+
 def upsert(
-    df: DataFrame, url: str, table: str, key_cols: list[str], props: dict
+    df: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    props: dict,
+    dialect: str = "postgresql",
 ) -> None:
-    """S5: staging-table + ON CONFLICT merge (idempotent incremental load)."""
+    """S5: staging table + one server-side merge (idempotent load).
+
+    ``dialect``: ``postgresql`` → ON CONFLICT; ``ansi`` → MERGE INTO.
+    """
+    if dialect == "postgresql":
+        merge_stmt = _upsert_sql
+    elif dialect == "ansi":
+        merge_stmt = _merge_sql
+    else:
+        raise ValueError(f"unknown dialect: {dialect!r}")
     staging = f"{table}__staging"
     (
         df.write.format("jdbc")
@@ -73,17 +111,23 @@ def upsert(
     conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         stmt = conn.createStatement()
-        stmt.execute(_upsert_sql(table, staging, df.columns, key_cols))
+        stmt.execute(merge_stmt(table, staging, df.columns, key_cols))
         stmt.execute(f"DROP TABLE {staging}")
         stmt.close()
     finally:
         conn.close()
 
 
-def upsert_microbatch(url: str, table: str, key_cols: list[str], props: dict):
+def upsert_microbatch(
+    url: str,
+    table: str,
+    key_cols: list[str],
+    props: dict,
+    dialect: str = "postgresql",
+):
     """T8: foreachBatch hook — ``writeStream.foreachBatch(fn)``."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        upsert(batch_df, url, table, key_cols, props)
+        upsert(batch_df, url, table, key_cols, props, dialect=dialect)
 
     return fn

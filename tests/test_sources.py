@@ -69,6 +69,53 @@ def test_incremental_predicate_pushes_down(tmp_path, spark):
     assert "Filter" in plan
 
 
+def test_jdbc_derby_roundtrip(spark):
+    """S4/S5 integration against embedded Derby (bundled with Spark):
+    full write → read-back → staging+MERGE upsert (ANSI dialect). The
+    PostgreSQL ON CONFLICT dialect stays env-gated below; the plumbing
+    (Spark JDBC writer, server-side single-statement merge, staging
+    drop) is identical."""
+    from salesforce_postgresql_etl_spark.sources.jdbc import upsert, write_full
+
+    url = "jdbc:derby:memory:sfpgtest;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    base = spark.createDataFrame(
+        [(1, "alice", 10.5), (2, "bob", 20.0), (3, "carol", 30.25)],
+        "id bigint, name string, score double",
+    )
+    write_full(base, url, "accounts", props)
+
+    def read_back():
+        df = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "accounts")
+            .options(**props)
+            .load()
+        )
+        return sorted(tuple(r) for r in df.collect())
+
+    assert read_back() == [(1, "alice", 10.5), (2, "bob", 20.0), (3, "carol", 30.25)]
+
+    # Upsert: update id=2, insert id=4 — one server-side MERGE.
+    delta = spark.createDataFrame(
+        [(2, "bob2", 21.0), (4, "dave", 40.0)],
+        "id bigint, name string, score double",
+    )
+    upsert(delta, url, "accounts", ["id"], props, dialect="ansi")
+    assert read_back() == [
+        (1, "alice", 10.5),
+        (2, "bob2", 21.0),
+        (3, "carol", 30.25),
+        (4, "dave", 40.0),
+    ]
+
+    # Idempotency: re-applying the same delta changes nothing.
+    upsert(delta, url, "accounts", ["id"], props, dialect="ansi")
+    assert len(read_back()) == 4
+
+
 @pytest.mark.skipif(True, reason="no PostgreSQL server/JDBC driver in this environment")
 def test_jdbc_roundtrip(spark):  # pragma: no cover — design-complete, env-gated
     from salesforce_postgresql_etl_spark.sources.jdbc import upsert, write_full

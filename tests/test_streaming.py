@@ -181,3 +181,51 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # 2 rows (append mode emits wm-finalized windows).
     assert out.get(12) == 2
     assert 9 not in out, f"late row leaked into output: {out}"
+
+
+def test_foreachbatch_upsert_to_derby(spark, tmp_path):
+    """T8 end-to-end: streaming aggregation → foreachBatch staging+MERGE
+    upsert into embedded Derby (ANSI dialect). The final table must
+    equal the batch aggregation — update-mode emits only changed keys
+    per micro-batch, and the server-side merge reconciles them."""
+    from salesforce_postgresql_etl_spark.sources.jdbc import (
+        upsert_microbatch,
+        write_full,
+    )
+
+    src = _chunked_events(spark, tmp_path)
+    url = "jdbc:derby:memory:t8db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    batch = (
+        load(spark, SF_DIR_TINY, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    # Pre-create the target (production pre-provisions the DDL).
+    write_full(batch.limit(0), url, "user_counts", props)
+
+    counts = (
+        read_events_stream(spark, src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(
+            upsert_microbatch(url, "user_counts", ["user_id"], props, dialect="ansi")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_jdbc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "user_counts")
+        .options(**props)
+        .load()
+    )
+    assert _rows(back) == _rows(batch)
