@@ -163,6 +163,41 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4b — token counting: whitespace vs a BPE-ish pre-tokenizer regex
+# (GPT-2-style classes — letter runs, digit runs, punctuation runs,
+# each with an optional leading space — minus the lookahead, which
+# RE2 (DuckDB) doesn't support; Java regex agrees on this subset).
+# ---------------------------------------------------------------------------
+_BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INT) AS n_bpe,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(regexp_extract_all(text, '{_BPE_PAT}')) AS chars_per_tok
+FROM documents
+""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws"),
+        F.size(bpe).alias("n_bpe"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size(bpe)
+        ).alias("chars_per_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L5 — corpus bigram counts (slice+zip_with avoids the Spark
 # sequence(1,0) descending-sequence trap on 1-word docs)
 # ---------------------------------------------------------------------------

@@ -140,6 +140,60 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_counts_tws(events: DataFrame) -> DataFrame:
+    """T6 on the Spark-4 transport: ``transformWithStateInPandas`` with
+    a ``StatefulProcessor`` + ValueState.
+
+    Same semantics as :func:`stateful_user_counts` (one counter +
+    floor-quantized running value total per user, updated totals
+    emitted each micro-batch); only the state API differs — the
+    processor-object transport is the long-term Spark direction (the
+    state schema is explicit, timers are first-class, and RocksDB
+    state-store backends apply unchanged).
+
+    Environment note: the transformWithState state-server protocol
+    imports ``google.protobuf`` in the driver-side worker; containers
+    without protobuf can't run it (the pytest import-skips there) —
+    :func:`stateful_user_counts` is the transport exercised everywhere.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                # identical floor-based power-of-two quantizer to the
+                # batch doctrine (sum_pow2) and the applyInPandasWithState
+                # transport — the three must agree bit-for-bit
+                total += (
+                    float(np.floor(pdf["value"] * (2**20)).astype("int64").sum())
+                    / (2**20)
+                )
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserCounts(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # --- stream runner ----------------------------------------------------------
 
 

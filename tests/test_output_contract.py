@@ -94,6 +94,22 @@ def _duck_lattice(type_str: str) -> str:
 
 
 @pytest.mark.parametrize("name", _ALL)
+def test_no_decimal_typed_outputs(name, spark):
+    """Decimal sums are the internal determinism mechanism, but decimal
+    OUTPUT columns are a comparison hazard: Spark's pandas conversion
+    keeps scale-bearing Decimal objects while DuckDB's lands float64 —
+    same value, different canonical forms. Outputs convert to double."""
+    df = _REG[name].fn(spark, SF_DIR)
+    bad = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)
+    ]
+    assert not bad, (
+        f"[{name}] decimal-typed registered outputs {bad} — wrap with "
+        "dec_to_double (functions/determinism.py) before registering"
+    )
+
+
+@pytest.mark.parametrize("name", _ALL)
 def test_output_columns_are_scalar(name, spark):
     df = _REG[name].fn(spark, SF_DIR)
     bad = [

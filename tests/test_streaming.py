@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from salesforce_postgresql_etl_spark.sources import load
@@ -229,3 +230,47 @@ def test_foreachbatch_upsert_to_derby(spark, tmp_path):
         .load()
     )
     assert _rows(back) == _rows(batch)
+
+
+def test_stateful_counts_transformwithstate(spark, tmp_path):
+    """T6 on the Spark-4 transport (transformWithStateInPandas +
+    StatefulProcessor/ValueState): final per-user totals must equal
+    both the batch aggregation and the applyInPandasWithState
+    transport — three implementations, one doctrine.
+
+    Env-gated: the transformWithState state-server protocol requires
+    the protobuf package, which is not installed in this container
+    (and installs are disallowed). The code path is complete in
+    streaming/jobs.py; this test runs wherever protobuf exists."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (not in this env)",
+    )
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        stateful_user_counts_tws,
+    )
+
+    src = _chunked_events(spark, tmp_path, n_chunks=3)
+    stream = stateful_user_counts_tws(read_events_stream(spark, src, max_files=1))
+    got = run_available_now(stream, str(tmp_path / "ckpt_tws"), "update")
+    final = {}
+    final_total = {}
+    for r in got.orderBy("n_events").collect():  # later rows overwrite
+        final[r.user_id] = r.n_events
+        final_total[r.user_id] = r.total_value
+
+    e = load(spark, SF_DIR_TINY, "events")
+    batch = {
+        r.user_id: r.n
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == batch
+
+    # Cross-transport agreement on the quantized totals.
+    src2 = _chunked_events(spark, tmp_path / "b", n_chunks=3)
+    old = stateful_user_counts(read_events_stream(spark, src2, max_files=1))
+    got_old = run_available_now(old, str(tmp_path / "ckpt_old"), "update")
+    old_total = {}
+    for r in got_old.orderBy("n_events").collect():
+        old_total[r.user_id] = r.total_value
+    assert final_total == old_total
