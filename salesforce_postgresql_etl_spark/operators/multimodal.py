@@ -116,6 +116,130 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("sample_rate", IntegerType(), True),
+                    StructField("codec", StringType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def _resize_payload(payload: bytes, w: int, h: int, fake: bool) -> bytes:
+    """Library-dependent image resample. STUB: no media libs here —
+    the fake path emits a deterministic w*h-byte payload derived from
+    the source bytes (repeat/truncate), so tests can assert sizes and
+    content-addressing end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an imaging library not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    need = w * h
+    reps = (need // max(len(payload), 1)) + 1
+    return (payload * reps)[:need]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize every image payload to (width, height); non-images pass
+    through untouched. Same carriage contract as extract_features: one
+    Arrow-batched JVM↔Python crossing, streaming batch-by-batch, output
+    payload is again an opaque BinaryType ready for scan/shuffle/sink."""
+    from ..session import configure_runtime
+
+    configure_runtime(media.sparkSession)
+
+    def batches(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            out_payload, out_meta = [], []
+            for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                if k == "image":
+                    out_payload.append(_resize_payload(bytes(p), width, height, fake))
+                    m2 = dict(m) if m is not None else {}
+                    m2["width"], m2["height"] = width, height
+                    out_meta.append(m2)
+                else:
+                    out_payload.append(bytes(p))
+                    out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+        StructField("frame_id", StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """Fan out each video payload into ``n_frames`` sampled frames —
+    the one multimodal op whose output cardinality EXCEEDS its input
+    (mapInPandas yields multiple rows per source row; the Arrow batch
+    contract handles that natively). Non-video rows produce no output.
+
+    Real decoders pick frames at evenly-spaced timestamps; the fake
+    path slices the payload into n_frames even chunks (deterministic,
+    content-addressed), keeping every Spark-side mechanic real."""
+    from ..session import configure_runtime
+
+    configure_runtime(media.sparkSession)
+
+    def batches(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            rows = {"media_id": [], "frame_idx": [], "frame": [], "frame_id": []}
+            for mid, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if k != "video":
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "video frame sampling requires a codec library not "
+                        "present in this environment; pass fake=True"
+                    )
+                p = bytes(p)
+                step = max(len(p) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = p[i * step : (i + 1) * step] or b"\x00"
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(frame)
+                    rows["frame_id"].append(
+                        hashlib.sha256(frame).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake payload table matching MEDIA_SCHEMA."""
     rows = []

@@ -148,3 +148,64 @@ def test_shingles_guard_short_texts(spark):
     assert got[""] == [] and got["a"] == [] and got["abcd"] == []
     assert got["abcde"] == ["abcde"]
     assert sorted(got["abcdef"]) == ["abcde", "bcdef"]
+
+
+def test_multimodal_resize(spark):
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30).repartition(4, "kind")
+    out = resize_images(media, 16, 8, fake=True)
+    assert out.schema == RESIZED_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 30  # non-images pass through
+    for r in rows:
+        if r.kind == "image":
+            assert len(r.payload) == 16 * 8
+            assert r.meta.width == 16 and r.meta.height == 8
+        else:
+            assert r.meta.width is None  # untouched
+
+
+def test_multimodal_frame_sampling(spark):
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        FRAME_SCHEMA,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30).repartition(4, "kind")
+    n_videos = media.where("kind = 'video'").count()
+    out = sample_frames(media, n_frames=4, fake=True)
+    assert out.schema == FRAME_SCHEMA
+    rows = out.collect()
+    assert len(rows) == n_videos * 4  # fan-out: frames > input rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+        assert isinstance(r.frame, (bytes, bytearray)) and len(r.frame) > 0
+    assert all(sorted(v) == [0, 1, 2, 3] for v in by_media.values())
+    # determinism: same input → same frame ids
+    again = {(r.media_id, r.frame_idx): r.frame_id
+             for r in sample_frames(media, n_frames=4, fake=True).collect()}
+    first = {(r.media_id, r.frame_idx): r.frame_id for r in rows}
+    assert again == first
+
+
+def test_multimodal_resize_stub_raises(spark):
+    import pytest as _pytest
+
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=6)
+    with _pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_images(media, 8, 8, fake=False).collect()
+    with _pytest.raises(Exception, match="NotImplementedError|frame"):
+        sample_frames(media, fake=False).collect()
