@@ -119,3 +119,27 @@ def test_incremental_load_lifecycle(spark, tmp_path):
         2: ("bob-v2", 21.0),
         3: ("carol-v1", 30.0),
     }
+
+
+def test_watermark_predicate_pushes_to_native_ts_scan(spark, tmp_path):
+    """On a source with a NATIVE timestamp column the incremental
+    filter must reach the parquet reader as a PushedFilter — at 100 TB
+    this is what turns 'read the table' into 'read the delta'. (The
+    events fixture rebuilds ts from raw nanos, so its filter stays
+    post-scan; this test uses a natively-typed source instead.)"""
+    from salesforce_postgresql_etl_spark.sources.incremental import (
+        incremental_extract,
+    )
+
+    src = str(tmp_path / "native_ts")
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1)), (2, dt.datetime(2024, 1, 9))],
+        "id bigint, modstamp timestamp_ntz",
+    ).write.parquet(src)
+
+    store = WatermarkStore(str(tmp_path / "wm2.json"))
+    store.set("t", "2024-01-05 00:00:00")
+    df = incremental_extract(spark.read.parquet(src), "modstamp", store, "t")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(modstamp), GreaterThan(modstamp" in plan
+    assert df.count() == 1
