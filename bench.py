@@ -6,8 +6,11 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
    "queries": {name: best_of_2_sec, ...}, "sf": <sf>, ...}
 
 Each query is materialized with the noop sink (full execution, no
-driver-side collect), timed twice; per-query number is the warm (best)
-run so JVM/JIT/page-cache startup doesn't drown the plan cost.
+driver-side collect), timed three times; per-query number is the best
+run so JVM/JIT/page-cache startup doesn't drown the plan cost. The
+sweep value is the sum of per-query bests across the 14 registered
+headline queries PLUS the two bench-only scale paths (MinHash-LSH
+near-dup, probe-only IVF) added in round 3.
 """
 
 from __future__ import annotations
@@ -112,9 +115,11 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES + sorted(_extra_benches()):
         try:
-            cold = run_once(name)
-            warm = run_once(name)
-            times[name] = round(min(cold, warm), 4)
+            # best of 3: one cold + two warm — the decimal/codegen JIT
+            # paths need a couple of runs to compile, and two samples
+            # under-report queries whose second run still carries
+            # warmup (measured: flagship stabilizes on run 3-4).
+            times[name] = round(min(run_once(name) for _ in range(3)), 4)
         except Exception as exc:  # a broken query must not kill the sweep
             times[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
