@@ -28,21 +28,26 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # Registration order IS the driver's grading order: the t2 harness checks
-# the first N registered queries (N=27 in r1, 50 in r2). The LLM-pipeline
-# mandate (L1-L8 + extensions) therefore registers right after the
-# relational/aggregate core so it sits inside the checked window:
-# relational 1-27, aggregates 28-35, llm 36-42, llm_ext 43-49,
-# windows 50-58, scalars 59-69, streaming/udfs/sources 70-84.
+# the first N registered queries (N=27 in r1, 50 in r2/r3). Round-4
+# rotation (VERDICT r3 #1): the 32 queries that were stale (windows,
+# half of scalars — green only in r02), fixed-but-unregraded
+# (q_str_funcs/q_math_funcs), or never graded (streaming, UDFs,
+# sources, JSON/array/map/hash scalars) move to the FRONT; the llm +
+# llm_ext families (all driver-green in r03) anchor the tail of the
+# window. windows 1-9, scalars 10-20, stream_equiv 21-25, udfs 26-30,
+# sources_q 31-35, llm 36-43, llm_ext 44-50 — exactly 50. relational
+# (51-77) and aggregates (78-85) rotate out; both were fully green in
+# r03 (see COVERAGE.md ledger for per-query last-green rounds).
 _MODULES = (
-    "relational",
-    "aggregates",
-    "llm",
-    "llm_ext",
     "windows",
     "scalars",
     "stream_equiv",
     "udfs",
     "sources_q",
+    "llm",
+    "llm_ext",
+    "relational",
+    "aggregates",
 )
 
 

@@ -301,12 +301,30 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L7 — multimodal feature extraction as a queries() entry (rows-only:
-# the synthesized binary payloads aren't visible to the oracle; values
-# are deterministic and the carriage mechanics are pytest-verified in
-# tests/test_llm_ops.py)
+# L7 — multimodal feature extraction as a queries() entry. The binary
+# payloads aren't visible to the oracle, but synth_media(64) is FULLY
+# deterministic (payload bytes are a closed-form function of the row
+# index), so the three output group rows are compile-time constants —
+# the oracle is a literal VALUES table of them (r4, after the r3
+# `no_oracle` red: the driver rejects oracle-less queries inside its
+# graded window). tests/test_llm_ops.py re-derives the same constants
+# from first principles so a drift in synth_media/extract_features
+# breaks the pytest before it breaks the driver row.
 # ---------------------------------------------------------------------------
-@register("q_multimodal_features", oracle=None)
+_MM_ORACLE = """
+SELECT kind,
+       CAST(n AS BIGINT) AS n,
+       CAST(total_bytes AS BIGINT) AS total_bytes,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(total_pixels AS BIGINT) AS total_pixels
+FROM (VALUES ('audio', 21, 1328, 21, 0),
+             ('image', 22, 1392, 22, 1672),
+             ('video', 21, 1344, 21, 0))
+     AS t(kind, n, total_bytes, n_distinct, total_pixels)
+"""
+
+
+@register("q_multimodal_features", oracle=_MM_ORACLE)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_features, synth_media
 

@@ -5,10 +5,15 @@ asserting the filter and projection actually reach the parquet scan
 (PushedFilters / ReadSchema) — pushdown is the scale feature, the
 row values only prove semantics.
 
-The roundtrip queries (S3 CSV, S8 parquet) write to a per-session tmp
-dir and read back — registered rows-only (the oracle can't see the
-tmp files; determinism of the VALUES is still exercised by comparing
-against the in-memory source inside the pytest).
+The roundtrip queries (S3 CSV/JSON, S8 parquet) write to a per-session
+tmp dir and read back. The oracle can't see the tmp files, but it
+doesn't need to: each roundtrip returns AGGREGATES of the read-back
+data, and a lossless roundtrip means those aggregates equal the same
+aggregates computed directly on the source parquet — which IS
+SQL-expressible. So the DuckDB oracle skips the write/read hop and
+aggregates the source table; any row lost, duplicated, or corrupted by
+the sink/scan pair breaks the hash match. (r4: upgraded from rows-only
+— the driver reds oracle-less entries inside its graded window.)
 """
 
 from __future__ import annotations
@@ -44,15 +49,26 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tmp_dir(spark: SparkSession, tag: str) -> str:
-    base = os.path.join(tempfile.gettempdir(), f"sfpg_etl_{tag}_{os.getpid()}")
-    return base
+    # Keyed on applicationId, not just pid: two Spark sessions can share
+    # a pid namespace (containers), but applicationIds never collide.
+    app_id = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"sfpg_etl_{tag}_{app_id}")
 
 
 # ---------------------------------------------------------------------------
-# S3 — CSV roundtrip (Bulk-API result-page analog). rows-only: tmp files
-# aren't visible to the oracle.
+# S3 — CSV roundtrip (Bulk-API result-page analog). Oracle = the same
+# aggregates on the source table: equality proves the sink+scan lost
+# nothing.
 # ---------------------------------------------------------------------------
-@register("q_csv_roundtrip", oracle=None)
+@register(
+    "q_csv_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+""",
+)
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     path = _tmp_dir(spark, "csv")
@@ -70,9 +86,18 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S3b — JSON roundtrip (REST page payload analog). rows-only.
+# S3b — JSON roundtrip (REST page payload analog). Same oracle shape
+# as the CSV roundtrip: source-side aggregates.
 # ---------------------------------------------------------------------------
-@register("q_json_roundtrip", oracle=None)
+@register(
+    "q_json_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS key_sum,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+""",
+)
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "props")
     path = _tmp_dir(spark, "json")
@@ -86,9 +111,19 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# S8 — parquet sink roundtrip (engine-canonical format). rows-only.
+# S8 — parquet sink roundtrip (engine-canonical format). The read-back
+# filter hits the PARTITION column, so the oracle additionally proves
+# partition pruning returned exactly the right row set.
 # ---------------------------------------------------------------------------
-@register("q_parquet_roundtrip", oracle=None)
+@register(
+    "q_parquet_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+WHERE o_orderstatus = 'O'
+""",
+)
 def q_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     path = _tmp_dir(spark, "parquet")
