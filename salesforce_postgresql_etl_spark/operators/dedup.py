@@ -71,7 +71,7 @@ def neardup_pairs(
     strategy: str = "brute",
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """All document pairs (doc_a < doc_b) with token-set Jaccard ≥ threshold.
 
@@ -84,8 +84,10 @@ def neardup_pairs(
     is also how production LSH runs: signatures materialized once).
     A persisted table additionally carries exact size stats, so the
     planner auto-broadcasts the verify join when the corpus is small
-    and keeps a shuffle join when it isn't. Pass False for one-shot
-    semantics with zero cache residue.
+    and keeps a shuffle join when it isn't. Default False (r4, advisor):
+    a library call leaves zero cache residue unless the caller opts in
+    and owns the unpersist (the bench opts in and clears cache per
+    entry).
     """
     tok = token_sets(docs)
     if strategy == "minhash" and persist:

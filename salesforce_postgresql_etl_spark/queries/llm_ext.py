@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.simsearch import with_sq_norm, _dot_dec
+from ..operators.simsearch import neardup_embed_pairs
 from ..sources import load
 from . import register
 
@@ -176,24 +176,13 @@ WHERE d.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {COS_THETA}
 """,
 )
 def q_neardup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brute strategy = the oracle form. The 100 TB path is
+    # neardup_embed_pairs(strategy="lsh") — sign-plane banding with
+    # exact verify, proven ≡ brute in tests/test_llm_ops.py and benched
+    # as q_neardup_embed_lsh; see its docstring for why θ=0.4 itself is
+    # not sublinear-prunable on this data.
     emb = load(spark, sf_dir, "embeddings")
-    a = with_sq_norm(emb).select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("e_a"),
-        F.col("sq_norm").alias("n_a"),
-    )
-    b = with_sq_norm(emb).select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("e_b"),
-        F.col("sq_norm").alias("n_b"),
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _dot_dec(F.col("e_a"), F.col("e_b")) / (F.sqrt("n_a") * F.sqrt("n_b"))
-    return (
-        pairs.withColumn("cosine", cos)
-        .where(F.col("cosine") >= COS_THETA)
-        .select("vec_a", "vec_b", "cosine")
-    )
+    return neardup_embed_pairs(emb, threshold=COS_THETA, strategy="brute")
 
 
 # ---------------------------------------------------------------------------

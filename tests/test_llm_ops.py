@@ -56,6 +56,79 @@ def test_minhash_candidate_pruning(spark):
     assert _pairs(out) == brute
 
 
+def _vpairs(df):
+    return sorted((r.vec_a, r.vec_b, r.cosine) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def neardup_corpus(spark):
+    """Fixture embeddings + deterministic near-duplicates. The shipped
+    fixture's pair cosines top out at 0.51 (measured), so true
+    near-dups (≥0.9) must be constructed: every 10th vector gets a
+    copy with one coordinate nudged — cosine ≈ 0.999."""
+    from salesforce_postgresql_etl_spark.sources import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.select("vec_id", "embedding").collect()
+    ]
+    dups = []
+    for vid, v in rows:
+        if vid % 10 == 0:
+            w = list(v)
+            w[0] += 0.01 * (1 if w[0] >= 0 else -1)
+            dups.append((10_000 + vid, w))
+    return spark.createDataFrame(
+        rows + dups, "vec_id long, embedding array<float>"
+    )
+
+
+def test_embed_lsh_equals_brute_at_dedup_threshold(spark, neardup_corpus):
+    from salesforce_postgresql_etl_spark.operators.simsearch import (
+        neardup_embed_pairs,
+    )
+
+    brute = _vpairs(neardup_embed_pairs(neardup_corpus, 0.9, strategy="brute"))
+    lsh = _vpairs(neardup_embed_pairs(neardup_corpus, 0.9, strategy="lsh"))
+    assert len(brute) >= 50, "constructed corpus must contain true near-dups"
+    # Exact equality: with r=8/b=32 the per-pair miss probability at
+    # cosine ≈ 0.999 is (1 − p⁸)³² with p = 1 − arccos(.999)/π ≈ 0.986
+    # → ~2e-13; the planes are fixed, so this is deterministic.
+    assert lsh == brute
+
+
+def test_embed_lsh_is_subset_below_dedup_regime(spark):
+    # At the registered query's θ=0.4 the LSH path documents possible
+    # misses (see neardup_embed_pairs docstring) — but any pair it DOES
+    # report must carry the identical exact-verified cosine.
+    from salesforce_postgresql_etl_spark.operators.simsearch import (
+        neardup_embed_pairs,
+    )
+    from salesforce_postgresql_etl_spark.sources import load
+
+    emb = load(spark, SF_DIR, "embeddings")
+    brute = set(_vpairs(neardup_embed_pairs(emb, 0.4, strategy="brute")))
+    lsh = set(_vpairs(neardup_embed_pairs(emb, 0.4, strategy="lsh")))
+    assert lsh <= brute
+
+
+def test_embed_lsh_prunes_candidates(spark, neardup_corpus):
+    # The banded candidate join must not degenerate to all-pairs: count
+    # distinct candidates the way the operator builds them and require
+    # a real cut vs n·(n−1)/2.
+    from salesforce_postgresql_etl_spark.operators.simsearch import (
+        neardup_embed_pairs,
+    )
+
+    n = neardup_corpus.count()
+    all_pairs = n * (n - 1) // 2
+    # threshold=-1 keeps every exact-verified candidate → the output
+    # size IS the candidate-pair count.
+    cands = neardup_embed_pairs(neardup_corpus, -1.0, strategy="lsh").count()
+    assert cands < 0.5 * all_pairs
+
+
 def _topk(df):
     return sorted((r.qid, r.rnk, r.vec_id, r.cosine) for r in df.collect())
 
