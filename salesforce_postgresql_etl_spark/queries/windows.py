@@ -251,11 +251,13 @@ def q_win_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Spark has no batch ASOF JOIN operator; the idiomatic plan is a
 # non-equi join on (user_id, c_ts <= p_ts) followed by a partitioned
-# row_number — one shuffle on user_id, then per-probe top-1. At 100 TB
-# the quadratic-per-user band join is replaced by bucketing both sides
-# on user_id, sorting by ts within buckets, and a mapPartitions merge
-# (or a union + last_value(ignore nulls) single-window pass); the
-# fixture-scale shape keeps Catalyst in charge.
+# row_number — one shuffle on user_id, then per-probe top-1. This band
+# join is quadratic per user, so it stays ONLY as the oracle form; the
+# 100 TB path is operators/asof.py::asof_backward_join — union both
+# sides, one hash shuffle on user_id, sortWithinPartitions(ts), and a
+# running last(... IGNORE NULLS) window: a merge join expressed
+# declaratively, proven ≡ this form in tests/test_asof.py and benched
+# round-over-round (q_join_asof entry in bench.py).
 # ---------------------------------------------------------------------------
 @register(
     "q_join_asof",
