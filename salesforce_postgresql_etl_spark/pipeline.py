@@ -68,14 +68,22 @@ def run_incremental_load(
     props: dict,
     dialect: str = "postgresql",
     create_target: bool = False,
+    lag_seconds: int = 0,
 ) -> LoadResult:
     """One incremental sync cycle; idempotent under re-runs.
 
     ``create_target=True`` provisions the warehouse table from the
     batch schema on the FIRST run (empty overwrite → DDL only), the
     way the reference derives DDL from the source schema.
+
+    ``lag_seconds``: re-extract overlap for sources without monotonic
+    commit visibility (see incremental_extract) — safe here precisely
+    because step 3 is an idempotent merge, so re-read rows collapse to
+    no-ops. Note the docstring's exactly-once claim assumes either
+    monotonic visibility or a lag wider than the source's worst
+    visibility delay.
     """
-    delta = incremental_extract(source, ts_col, store, table)
+    delta = incremental_extract(source, ts_col, store, table, lag_seconds=lag_seconds)
     # The deduped batch feeds three actions (count, JDBC write,
     # watermark max) — persist so the delta is computed once, not three
     # times. The global max(ts) row is by definition the latest for its

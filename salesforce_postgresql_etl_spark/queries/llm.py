@@ -171,6 +171,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PAT = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
 
 
+# Zero-token guard (r4, advisor): on an empty/all-space doc n_bpe = 0,
+# where Spark's Divide yields NULL but DuckDB's IEEE double division
+# yields inf/nan — NULLIF/nullif on BOTH sides makes the engines agree
+# on NULL if such a doc ever enters the fixtures.
 @register(
     "q_token_count",
     oracle=f"""
@@ -178,7 +182,7 @@ SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
        CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INT) AS n_bpe,
        CAST(length(replace(text, ' ', '')) AS DOUBLE)
-           / len(regexp_extract_all(text, '{_BPE_PAT}')) AS chars_per_tok
+           / NULLIF(len(regexp_extract_all(text, '{_BPE_PAT}')), 0) AS chars_per_tok
 FROM documents
 """,
 )
@@ -192,7 +196,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
             .cast("double")
-            / F.size(bpe)
+            / F.nullif(F.size(bpe), F.lit(0))
         ).alias("chars_per_tok"),
     )
 

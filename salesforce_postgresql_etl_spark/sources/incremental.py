@@ -43,18 +43,36 @@ class WatermarkStore:
 
 
 def incremental_extract(
-    df: DataFrame, ts_col: str, store: WatermarkStore, table: str
+    df: DataFrame,
+    ts_col: str,
+    store: WatermarkStore,
+    table: str,
+    lag_seconds: int = 0,
 ) -> DataFrame:
     """Rows newer than the stored watermark (all rows on first run).
 
     The `ts > wm` predicate reaches the parquet scan (PushedFilters) /
     the JDBC WHERE clause — only changed rows are read, which is the
     whole point at 100 TB.
+
+    ``lag_seconds``: visibility-lag overlap. The strict ``ts > wm``
+    filter assumes monotonic visibility — a row committed with
+    ``ts <= wm`` AFTER the watermark advanced (long-running source
+    transaction, clock skew between writers) would be skipped forever.
+    A positive lag re-extracts the trailing window (``ts > wm - lag``);
+    the downstream idempotent merge (sources/jdbc.upsert) absorbs the
+    re-read rows, so correctness costs only the overlap's scan width.
+    Default 0 keeps the exactly-the-delta contract for sources that ARE
+    monotonically visible (e.g. the reference's SystemModstamp, which
+    Salesforce stamps at commit time).
     """
     wm = store.get(table)
     if wm is None:
         return df
-    return df.where(F.col(ts_col) > F.lit(wm).cast("timestamp_ntz"))
+    cutoff = F.lit(wm).cast("timestamp_ntz")
+    if lag_seconds:
+        cutoff = cutoff - F.make_dt_interval(secs=F.lit(lag_seconds))
+    return df.where(F.col(ts_col) > cutoff)
 
 
 def advance_watermark(

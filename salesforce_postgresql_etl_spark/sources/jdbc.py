@@ -53,25 +53,35 @@ def _q(ident: str) -> str:
 
 
 def _upsert_sql(table: str, staging: str, cols: list[str], key_cols: list[str]) -> str:
-    """PostgreSQL dialect: INSERT ... ON CONFLICT DO UPDATE."""
+    """PostgreSQL dialect: INSERT ... ON CONFLICT DO UPDATE.
+
+    All-key tables (pure relationship rows) have nothing to update on
+    conflict — emit DO NOTHING, which is also the idempotent semantics
+    (a re-seen key row is a no-op, not invalid SQL)."""
     collist = ", ".join(_q(c) for c in cols)
     keylist = ", ".join(_q(c) for c in key_cols)
     sets = ", ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in cols if c not in key_cols)
+    action = f"DO UPDATE SET {sets}" if sets else "DO NOTHING"
     return (
         f"INSERT INTO {table} ({collist}) SELECT {collist} FROM {staging} "
-        f"ON CONFLICT ({keylist}) DO UPDATE SET {sets}"
+        f"ON CONFLICT ({keylist}) {action}"
     )
 
 
 def _merge_sql(table: str, staging: str, cols: list[str], key_cols: list[str]) -> str:
-    """ANSI MERGE dialect (Derby, SQL Server, Oracle, DB2...)."""
+    """ANSI MERGE dialect (Derby, SQL Server, Oracle, DB2...).
+
+    With cols == key_cols the WHEN MATCHED clause is omitted entirely
+    (an empty UPDATE SET list is invalid SQL; matched rows need no
+    change)."""
     on = " AND ".join(f"t.{_q(c)} = s.{_q(c)}" for c in key_cols)
     sets = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in cols if c not in key_cols)
     collist = ", ".join(_q(c) for c in cols)
     vals = ", ".join(f"s.{_q(c)}" for c in cols)
+    matched = f"WHEN MATCHED THEN UPDATE SET {sets} " if sets else ""
     return (
         f"MERGE INTO {table} t USING {staging} s ON {on} "
-        f"WHEN MATCHED THEN UPDATE SET {sets} "
+        f"{matched}"
         f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
     )
 

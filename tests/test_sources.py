@@ -52,6 +52,41 @@ def test_watermark_store_roundtrip(tmp_path, spark):
     assert part.count() == expected.count() > 0
 
 
+def test_incremental_lag_overlap(tmp_path, spark):
+    # Visibility-lag re-extract (r4, advisor): ts > wm - lag. A row
+    # stamped exactly at the watermark is invisible at lag=0 but
+    # re-extracted with any positive lag.
+    store = WatermarkStore(str(tmp_path / "wm.json"))
+    e = load(spark, SF_DIR, "events")
+    wm = advance_watermark(e, "ts", store, "events")
+    assert incremental_extract(e, "ts", store, "events").count() == 0
+    lagged = incremental_extract(e, "ts", store, "events", lag_seconds=3600)
+    at_max = e.where(F.col("ts") == F.lit(wm).cast("timestamp_ntz")).count()
+    assert lagged.count() >= at_max > 0
+    expected = e.where(
+        F.col("ts")
+        > F.lit(wm).cast("timestamp_ntz") - F.expr("INTERVAL 3600 SECONDS")
+    )
+    assert lagged.count() == expected.count()
+
+
+def test_merge_sql_all_key_columns():
+    # An all-key table has nothing to UPDATE on match — the generated
+    # SQL must stay valid (no empty SET list) in both dialects.
+    from salesforce_postgresql_etl_spark.sources.jdbc import (
+        _merge_sql,
+        _upsert_sql,
+    )
+
+    m = _merge_sql("t", "s", ["a", "b"], ["a", "b"])
+    assert "WHEN MATCHED" not in m and "WHEN NOT MATCHED" in m
+    u = _upsert_sql("t", "s", ["a", "b"], ["a", "b"])
+    assert "DO NOTHING" in u and "DO UPDATE" not in u
+    # The normal case keeps the update branches.
+    assert "WHEN MATCHED THEN UPDATE SET" in _merge_sql("t", "s", ["a", "b"], ["a"])
+    assert "DO UPDATE SET" in _upsert_sql("t", "s", ["a", "b"], ["a"])
+
+
 def test_incremental_predicate_pushes_down(tmp_path, spark):
     store = WatermarkStore(str(tmp_path / "wm.json"))
     store.set("events", "2024-01-15 00:00:00")
