@@ -60,11 +60,14 @@ BENCH_QUERIES = [
     # LLM-pipeline mandate ops (registered forms)
     "q_dedup_simhash",
     "q_embed_centroid",
-    # r4 (VERDICT r3 #7): the band-join as-of, the shingle-join
-    # near-dup, and the applyInPandas path — tracked before anyone
-    # scales them.
+    # r4 (VERDICT r3 #7): the band-join as-of and the applyInPandas
+    # path — tracked before anyone scales them. q_neardup_ngram was
+    # measured at 510 s for ONE run at sf0.1 and excluded: the naive
+    # shingle equi-join pairs every two docs sharing ANY common
+    # 5-gram, so ubiquitous shingles produce quadratic hot-key
+    # blow-ups — the tracked scale path for near-dup is
+    # q_neardup_minhash (banded signatures bound every bucket).
     "q_join_asof",
-    "q_neardup_ngram",
     "q_applyinpandas_normalize",
 ]
 

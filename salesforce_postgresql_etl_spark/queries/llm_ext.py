@@ -12,10 +12,16 @@ Scale shapes:
   single shuffle on doc_id; bucket sizes via a window on the (tiny)
   signature space. Near-dup candidates at 100 TB = equality join on
   the signature (or banded sub-signatures for Hamming distance > 0).
-- n-gram Jaccard: the shingle-join form IS the scale path (the join
-  key is the shingle — blocking comes free, no O(n²) pair space).
-- cosine near-dup: brute pairwise here; the IVF/LSH pruning story is
-  operators/simsearch.py.
+- n-gram Jaccard: the shingle join blocks on the shingle, which is
+  fine at fixture scale but NOT a scale path (measured r4: 510 s for
+  one sf0.1 run) — a shingle present in n docs emits n² intersection
+  rows, so ubiquitous shingles are quadratic hot keys. At 100 TB
+  char-n-gram near-dup runs through MinHash over the shingle sets
+  (operators/dedup.py banding bounds every bucket by construction);
+  this form stays as the oracle.
+- cosine near-dup: brute pairwise here (the oracle form); the scale
+  strategy is operators/simsearch.py::neardup_embed_pairs
+  (strategy="lsh", sign-plane banding + two-phase exact verify).
 """
 
 from __future__ import annotations
