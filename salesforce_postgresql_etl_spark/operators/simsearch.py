@@ -285,6 +285,121 @@ def neardup_embed_pairs(
     return _exact_cosine(pairs, threshold)
 
 
+# ---------------------------------------------------------------------------
+# K-means training for the IVF index (closes label_centroids' caveat:
+# "a production build would k-means them")
+# ---------------------------------------------------------------------------
+def with_kmeans_labels(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Attach each vector's nearest-centroid label (max cosine).
+
+    Cosine is scale-invariant in the centroid, so ranking by
+    ``dot(v, c) / |c|`` needs no |v| term; ties break to the lowest
+    label, making assignment fully deterministic. One broadcast of the
+    k-row centroid table; the n×k scored rows reduce through a
+    partial+final max — no shuffle wider than the input.
+    """
+    if label_col in emb.columns:
+        raise ValueError(f"{label_col!r} already exists on the input")
+    cents = centroids.select(
+        F.col("label").alias("__cl"),
+        F.col("centroid").alias("__c"),
+        F.sqrt(_dot_dbl(F.col("centroid"), F.col("centroid"))).alias("__cnorm"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", _dot_dbl(F.col(vec).cast("array<double>"), F.col("__c")) / F.col("__cnorm")
+    )
+    # argmax via max(struct(sim, -label)): greatest sim, then least label.
+    best = (
+        scored.groupBy(*emb.columns)
+        .agg(F.max(F.struct(F.col("__sim"), (-F.col("__cl")).alias("__nl"))).alias("__b"))
+        .withColumn(label_col, (-F.col("__b.__nl")).cast("int"))
+        .drop("__b")
+    )
+    return best
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 10,
+    iters: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column.
+
+    Returns (label int, centroid array<double>) — a drop-in for
+    ``label_centroids`` output, so ``topk_cosine(strategy="ivf")``
+    probes a TRAINED index instead of trusting a label column.
+
+    Determinism doctrine applied to training:
+    - init: farthest-first traversal (Gonzalez) — the min-md5(id)
+      vector seeds the set, then each next seed is the vector whose
+      best cosine to any chosen seed is LOWEST (ties → lowest id). A
+      pure random draw of k seeds almost never covers k well-separated
+      clusters (coupon-collector: ~0.04% for k=10), and Lloyd's cannot
+      split a collapsed pair; farthest-first provably picks one seed
+      per cluster when clusters are separated. k driver round-trips of
+      one row each, O(k·n·dim) total — standard offline-training init;
+    - assignment: per-row double fold (sequential, fixed order) with
+      label-ascending tie-breaks;
+    - update: mean_q40 per (cluster, dimension) — order-independent
+      quantized means, so the trained centroids are bit-identical
+      under ANY partitioning (asserted in tests);
+    - fixed ``iters`` (no data-dependent convergence test), empty
+      clusters keep their previous centroid.
+
+    The driver holds only the k×dim centroid matrix between iterations
+    (index metadata, not data-scale); each iteration is one broadcast
+    cross-score + one partial+final aggregate over the corpus —
+    O(n·k·dim) work, the canonical offline-training cost.
+    """
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).cast("string").alias("sid"),
+        F.col(vec).cast("array<double>").alias("v"),
+    )
+    first = (
+        base.withColumn("h", F.md5("sid")).orderBy("h", "sid").limit(1).collect()[0]
+    )
+    chosen = [[float(x) for x in first.v]]
+    for _ in range(k - 1):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(chosen)], "label int, centroid array<double>"
+        ).select(
+            "centroid",
+            F.sqrt(_dot_dbl(F.col("centroid"), F.col("centroid"))).alias("cn"),
+        )
+        sim = _dot_dbl(F.col("v"), F.col("centroid")) / (
+            F.sqrt(_dot_dbl(F.col("v"), F.col("v"))) * F.col("cn")
+        )
+        far = (
+            base.crossJoin(F.broadcast(cdf))
+            .groupBy("sid", "v")
+            .agg(F.max(sim).alias("best"))
+            .orderBy(F.col("best").asc(), F.col("sid").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append([float(x) for x in far.v])
+    cents = list(enumerate(chosen))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "label int, centroid array<double>")
+        assigned = with_kmeans_labels(
+            emb.select(id_col, vec), cdf, vec=vec, label_col="__km"
+        ).select(F.col("__km").alias("label"), F.col(vec))
+        got = {
+            r.label: [float(x) for x in r.centroid]
+            for r in label_centroids(assigned, vec=vec).collect()
+        }
+        cents = [(i, got.get(i, c)) for i, c in cents]
+    return spark.createDataFrame(cents, "label int, centroid array<double>")
+
+
 def topk_cosine(
     emb: DataFrame,
     queries: DataFrame,

@@ -152,28 +152,101 @@ def test_ivf_full_probe_equals_brute(spark, emb_and_queries):
     assert ivf == brute
 
 
+def _clustered_rows(dim=16, n_clusters=10, per_cluster=20):
+    """Deterministic well-separated axis clusters with tiny jitter."""
+    rows = []
+    for label in range(n_clusters):
+        for j in range(per_cluster):
+            v = [0.0] * dim
+            v[label] = 1.0
+            v[(label + 1) % dim] = 0.01 * ((j % 7) - 3)
+            rows.append((label * per_cluster + j, v, label))
+    return rows
+
+
 def test_ivf_partial_probe_on_clustered_data(spark):
     # The fixture's labels are NOT geometric clusters (random vectors),
     # so label-IVF recall there is ≈ nprobe/n_labels by construction.
     # Build a deterministic clustered corpus instead: 10 well-separated
     # axis clusters, small per-vector perturbation. With real clusters,
     # nprobe=1 must already reproduce brute-force top-k exactly.
-    rows = []
-    dim = 16
-    for label in range(10):
-        for j in range(20):
-            v = [0.0] * dim
-            v[label] = 1.0
-            v[(label + 1) % dim] = 0.01 * ((j % 7) - 3)  # tiny deterministic jitter
-            rows.append((label * 20 + j, v, label))
     emb = spark.createDataFrame(
-        rows, "vec_id long, embedding array<float>, label int"
+        _clustered_rows(), "vec_id long, embedding array<float>, label int"
     )
     queries = emb.where(F.col("vec_id") % 20 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
     brute = _topk(topk_cosine(emb, queries, k=3, strategy="brute"))
     ivf1 = _topk(topk_cosine(emb, queries, k=3, strategy="ivf", nprobe=1))
+    assert ivf1 == brute
+
+
+def test_kmeans_recovers_clusters(spark):
+    # Trained index replaces the trusted label column: on the
+    # well-separated corpus, k-means must rediscover the true partition
+    # (as a bijection — cluster ids are arbitrary).
+    from salesforce_postgresql_etl_spark.operators.simsearch import (
+        kmeans_centroids,
+        with_kmeans_labels,
+    )
+
+    rows = _clustered_rows()
+    truth = {vid: lbl for vid, _, lbl in rows}
+    emb = spark.createDataFrame(
+        [(vid, v) for vid, v, _ in rows], "vec_id long, embedding array<float>"
+    )
+    cents = kmeans_centroids(emb, k=10, iters=5)
+    assigned = {
+        r.vec_id: r.label for r in with_kmeans_labels(emb, cents).collect()
+    }
+    mapping = {}
+    for vid, true_lbl in truth.items():
+        got = assigned[vid]
+        assert mapping.setdefault(true_lbl, got) == got, "cluster split a true label"
+    assert len(set(mapping.values())) == 10, "clusters collapsed"
+
+
+def test_kmeans_partition_independent(spark):
+    # The quantized-mean update + deterministic init/assignment make
+    # the trained centroids bit-identical under any partitioning.
+    from salesforce_postgresql_etl_spark.operators.simsearch import (
+        kmeans_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(vid, v) for vid, v, _ in _clustered_rows()],
+        "vec_id long, embedding array<float>",
+    )
+    a = kmeans_centroids(emb.repartition(3), k=10, iters=3).collect()
+    b = kmeans_centroids(emb.repartition(13), k=10, iters=3).collect()
+    assert sorted((r.label, r.centroid) for r in a) == sorted(
+        (r.label, r.centroid) for r in b
+    )
+
+
+def test_ivf_over_trained_kmeans_index(spark):
+    # End-to-end: train k-means, label the corpus from the trained
+    # index, probe nprobe=1 — must equal brute force on clustered data.
+    from salesforce_postgresql_etl_spark.operators.simsearch import (
+        kmeans_centroids,
+        with_kmeans_labels,
+    )
+
+    emb = spark.createDataFrame(
+        [(vid, v) for vid, v, _ in _clustered_rows()],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_centroids(emb, k=10, iters=5)
+    corpus = with_kmeans_labels(emb, cents)
+    queries = corpus.where(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    brute = _topk(topk_cosine(corpus, queries, k=3, strategy="brute"))
+    ivf1 = _topk(
+        topk_cosine(
+            corpus, queries, k=3, strategy="ivf", nprobe=1, centroids=cents
+        )
+    )
     assert ivf1 == brute
 
 
