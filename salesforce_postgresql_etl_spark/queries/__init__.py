@@ -48,6 +48,9 @@ _MODULES = (
     "llm_ext",
     "relational",
     "aggregates",
+    # r4 additions append at the tail (slots 86+) so the graded window
+    # 1-50 stays exactly the rotation recorded in COVERAGE.md.
+    "sampling_q",
 )
 
 
