@@ -51,6 +51,7 @@ _MODULES = (
     # r4 additions append at the tail (slots 86+) so the graded window
     # 1-50 stays exactly the rotation recorded in COVERAGE.md.
     "sampling_q",
+    "corpus_q",
 )
 
 

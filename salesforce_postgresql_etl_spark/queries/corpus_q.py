@@ -1,0 +1,110 @@
+"""Corpus-construction queries: sequence packing and decontamination
+(training-data pipeline surface — SURVEY.md §2.11 extensions).
+
+Tail-registered (slots 86+) like sampling_q: the r4 graded window
+1–50 stays exactly the rotation recorded in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.packing import pack_bins
+from ..sources import load
+from . import register
+
+PACK_BUDGET = 512  # tokens per packed sequence
+DECONTAM_K = 2  # distinct shared trigrams that flag contamination
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+o AS (SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM t)
+SELECT doc_id, n_tok, off AS tok_offset,
+       CAST(off // {PACK_BUDGET} AS BIGINT) AS bin
+FROM o
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate docs in doc_id order, chunk every PACK_BUDGET
+    tokens: each doc gets its global token offset and bin id. The
+    global prefix sum runs DISTRIBUTED (operators/packing.py — the
+    q_sort two-phase shape), never a whole-corpus single-task window."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    )
+    return pack_bins(
+        toks, "doc_id", "n_tok", PACK_BUDGET, offset_col="tok_offset"
+    ).select("doc_id", "n_tok", "tok_offset", "bin")
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: flag train docs sharing ≥ K distinct word-trigrams
+# with a benchmark/eval set (the standard pre-training hygiene pass).
+# The benchmark here is the deterministic doc_id % 50 == 0 slice; in
+# production it is the eval suites' n-gram set — small, so it ships
+# broadcast to every executor, which is exactly how this runs at
+# 100 TB (the corpus is never shuffled, only scanned).
+# ---------------------------------------------------------------------------
+def _trigrams():
+    # element_at is 1-based in both engines' semantics here; guard
+    # size<3 against Spark's descending-sequence trap (llm_ext.py).
+    return F.expr(
+        "CASE WHEN size(t) >= 3 THEN "
+        "array_distinct(transform(sequence(1, size(t) - 2), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+        "element_at(t, i + 2)))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tri AS (SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        FROM tok),
+bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 50 = 0),
+ov AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       FROM tri t JOIN bench b ON t.g = b.g
+       WHERE t.doc_id % 50 != 0
+       GROUP BY t.doc_id)
+SELECT d.doc_id,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) >= {DECONTAM_K} AS INT) AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+LEFT JOIN ov ON d.doc_id = ov.doc_id
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    ).select("doc_id", F.explode(_trigrams()).alias("g"))
+    bench_g = tri.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    train_tri = tri.where(F.col("doc_id") % 50 != 0)
+    ov = (
+        train_tri.join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    train = d.where(F.col("doc_id") % 50 != 0).select("doc_id")
+    return train.join(ov, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        (F.coalesce(F.col("n_overlap"), F.lit(0)) >= DECONTAM_K)
+        .cast("int")
+        .alias("is_contaminated"),
+    )

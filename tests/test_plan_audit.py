@@ -36,6 +36,7 @@ _SP_ALLOWED = {
     "q_agg_global": (1, "global aggregate final combine (1 row/partition in)"),
     "q_filter_null": (1, "global aggregate final combine"),
     "q_sort": (1, "cumulative-offsets frame over numPartitions rows"),
+    "q_pack_sequences": (1, "cumulative-offsets frame over numPartitions rows"),
     "q_tfidf": (1, "corpus-N scalar (1 row) broadcast back"),
     "q_csv_roundtrip": (1, "single-file test write"),
     "q_json_roundtrip": (1, "single-file test write"),
