@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     # q_neardup_minhash (banded signatures bound every bucket).
     "q_join_asof",
     "q_applyinpandas_normalize",
+    # r4 corpus-construction ops: distributed packing prefix-sum and
+    # the broadcast-decontamination scan.
+    "q_pack_sequences",
+    "q_decontaminate",
 ]
 
 
