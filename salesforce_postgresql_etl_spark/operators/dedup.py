@@ -154,3 +154,100 @@ def neardup_pairs(
         .select("doc_a", "doc_b", "t_a", "t_b")
     )
     return _exact_jaccard(pairs, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-radius near-dup (the follow-through on llm_ext.py's
+# "banded sub-signatures for Hamming distance > 0" note)
+# ---------------------------------------------------------------------------
+def simhash_signatures(docs: DataFrame, n_planes: int = 32) -> DataFrame:
+    """(doc_id, simhash): same construction as the registered
+    q_dedup_simhash (one md5 digest per token feeds all planes), as a
+    reusable operator."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    planes = [
+        F.sum(F.when(F.substring(h, i + 1, 1) < "8", 1).otherwise(-1)).alias(f"s{i}")
+        for i in range(n_planes)
+    ]
+    s = tok.groupBy("doc_id").agg(*planes)
+    sig = None
+    for i in range(n_planes):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return s.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_planes: int = 32,
+    strategy: str = "banded",
+) -> DataFrame:
+    """All document pairs (doc_a < doc_b) with SimHash Hamming distance
+    ≤ ``max_hamming``. Returns (doc_a, doc_b, hamming).
+
+    ``strategy="banded"`` is the scale path with an EXACT guarantee —
+    no probabilistic miss, unlike MinHash/sign-plane banding: split the
+    n-bit signature into ``max_hamming + 1`` bands; by pigeonhole, two
+    signatures within Hamming d must agree EXACTLY on at least one of
+    the d+1 bands, so an equi-join on (band, band_bits) finds every
+    qualifying pair. Candidates are verified with
+    ``bit_count(sig_a XOR sig_b)`` — cheap, exact, JVM-side. The only
+    shuffle keys are (band, bits) buckets; a bucket's size is bounded
+    by the number of docs sharing one band value (n/2^width expected).
+
+    ``strategy="brute"`` is the all-pairs oracle form for tests.
+    """
+    bands = max_hamming + 1
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes={n_planes} must be divisible by max_hamming+1={bands}"
+        )
+    width = n_planes // bands
+    sigs = simhash_signatures(docs, n_planes)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
+
+    if strategy == "brute":
+        pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    elif strategy == "banded":
+        mask = (1 << width) - 1
+        band_rows = sigs.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.expr(f"(simhash >> {i * width}) & {mask}").alias("bits"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "simhash", "bb.band", "bb.bits")
+        ca = band_rows.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bits"
+        )
+        cb = band_rows.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bits"
+        )
+        pairs = (
+            ca.join(cb, ["band", "bits"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "sig_a", "doc_b", "sig_b")
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

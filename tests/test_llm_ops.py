@@ -56,6 +56,37 @@ def test_minhash_candidate_pruning(spark):
     assert _pairs(out) == brute
 
 
+def test_simhash_banded_equals_brute(spark):
+    # Pigeonhole banding is EXACT (unlike probabilistic LSH): any pair
+    # within Hamming d must share one of the d+1 bands verbatim, so
+    # banded == brute must hold with no tolerance, at several radii.
+    from salesforce_postgresql_etl_spark.operators.dedup import simhash_neardup
+    from salesforce_postgresql_etl_spark.sources import load
+
+    docs = load(spark, SF_DIR, "documents")
+
+    def pairs(strategy, d):
+        return sorted(
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_neardup(docs, max_hamming=d, strategy=strategy).collect()
+        )
+
+    for d in (0, 1, 3):
+        brute = pairs("brute", d)
+        assert pairs("banded", d) == brute
+    # radius-0 must be non-empty here: the fixture has exact-signature
+    # collisions (q_dedup_simhash's n_bucket > 1 rows).
+    assert len(pairs("banded", 0)) > 0
+
+
+def test_simhash_banded_rejects_bad_widths(spark):
+    from salesforce_postgresql_etl_spark.operators.dedup import simhash_neardup
+    from salesforce_postgresql_etl_spark.sources import load
+
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_neardup(load(spark, SF_DIR, "documents"), max_hamming=4)
+
+
 def _vpairs(df):
     return sorted((r.vec_a, r.vec_b, r.cosine) for r in df.collect())
 
