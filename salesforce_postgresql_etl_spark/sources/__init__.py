@@ -1,1 +1,1 @@
-from .tables import TABLES, load, load_all  # noqa: F401
+from .tables import TABLES, load, load_all, register_views, run_sql  # noqa: F401

@@ -48,3 +48,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Expose every fixture table as a temp view (``prefix + name``) so
+    users run plain ``spark.sql`` against the same normalized tables
+    the registered queries use — the literal "switch engines and keep
+    your SQL" surface. Views are lazy: nothing is scanned until a query
+    runs, and Catalyst pushdown applies through them unchanged."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(f"{prefix}{t}")
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """One-call ad-hoc SQL over the table set (registers views first)."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

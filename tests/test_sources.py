@@ -52,6 +52,23 @@ def test_watermark_store_roundtrip(tmp_path, spark):
     assert part.count() == expected.count() > 0
 
 
+def test_run_sql_matches_duckdb(spark, duck):
+    # The ad-hoc SQL surface: a user-authored ANSI query (not one of
+    # the registered 89) must produce the same rows as DuckDB over the
+    # same views — the "switch engines, keep your SQL" contract.
+    from salesforce_postgresql_etl_spark.sources import run_sql
+
+    sql = """
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_custs
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 0
+    GROUP BY n.n_name
+    """
+    got = sorted((r.n_name, r.n_custs) for r in run_sql(spark, SF_DIR, sql).collect())
+    exp = sorted(map(tuple, duck.sql(sql).fetchall()))
+    assert got == exp and len(got) > 0
+
+
 def test_incremental_lag_overlap(tmp_path, spark):
     # Visibility-lag re-extract (r4, advisor): ts > wm - lag. A row
     # stamped exactly at the watermark is invisible at lag=0 but
