@@ -27,7 +27,13 @@ sequence).
 
 The sweep value is the sum of per-query bests across the registered
 headline queries PLUS the bench-only scale paths (MinHash-LSH
-near-dup, probe-only IVF, sign-plane-LSH embedding near-dup).
+near-dup over word tokens AND char-5-gram shingles, probe-only IVF,
+sign-plane-LSH embedding near-dup).
+
+r5: the JSON also carries `calibration_range_sum_s` (best-of-3 of a
+constant-plan spark.range(1e8).sum() — moves only with machine
+conditions) and 1-minute loadavg at sweep start/end, so environmental
+drift is auditable from the artifact itself (VERDICT r4 #3).
 """
 
 from __future__ import annotations
@@ -61,12 +67,11 @@ BENCH_QUERIES = [
     "q_dedup_simhash",
     "q_embed_centroid",
     # r4 (VERDICT r3 #7): the band-join as-of and the applyInPandas
-    # path — tracked before anyone scales them. q_neardup_ngram was
-    # measured at 510 s for ONE run at sf0.1 and excluded: the naive
-    # shingle equi-join pairs every two docs sharing ANY common
-    # 5-gram, so ubiquitous shingles produce quadratic hot-key
-    # blow-ups — the tracked scale path for near-dup is
-    # q_neardup_minhash (banded signatures bound every bucket).
+    # path — tracked before anyone scales them. q_neardup_ngram (the
+    # brute shingle equi-join, 510 s/run at sf0.1) stays excluded as
+    # the oracle-only form; its scale path q_neardup_ngram_lsh
+    # (char-5-gram MinHash banding, identical output) is in the
+    # extra-bench set below.
     "q_join_asof",
     "q_applyinpandas_normalize",
     # r4 corpus-construction ops: distributed packing prefix-sum and
@@ -94,6 +99,18 @@ def _extra_benches():
         # the sweep loop clears the cache after this entry.
         return neardup_pairs(
             docs, threshold=NEARDUP_THRESHOLD, strategy="minhash", persist=True
+        )
+
+    def neardup_ngram_lsh(spark, sf_dir):
+        # r5 (VERDICT r4 #2): char-5-gram near-dup through MinHash
+        # banding — replaces the 510 s/run excluded brute shingle join
+        # (measured 8.7 s at sf0.1 with identical output, 256 pairs).
+        from salesforce_postgresql_etl_spark.queries.llm_ext import NGRAM_THETA
+
+        docs = load(spark, sf_dir, "documents")
+        return neardup_pairs(
+            docs, threshold=NGRAM_THETA, strategy="minhash",
+            n_hashes=64, bands=16, tokenizer="char5", persist=True,
         )
 
     def neardup_embed_lsh(spark, sf_dir):
@@ -132,6 +149,7 @@ def _extra_benches():
 
     return {
         "q_neardup_minhash": neardup_minhash,
+        "q_neardup_ngram_lsh": neardup_ngram_lsh,
         "q_simsearch_ivf": simsearch_ivf,
         "q_neardup_embed_lsh": neardup_embed_lsh,
     }
@@ -156,6 +174,22 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
+
+    # Environmental-drift audit fields (VERDICT r4 #3): ambient load
+    # plus a fixed-cost calibration query — a pure spark.range sum has
+    # no I/O, no shuffle, and a constant plan, so round-over-round its
+    # time moves ONLY with machine conditions. A future round can
+    # divide any uniform sweep drift by the calibration drift instead
+    # of re-running old commits.
+    def calibrate() -> float:
+        df = spark.range(100_000_000).agg({"id": "sum"})
+        df.write.mode("overwrite").format("noop").save()  # JIT warmup
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    loadavg_start = os.getloadavg()[0]
+    calibration_s = round(min(calibrate() for _ in range(3)), 4)
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES + sorted(_extra_benches()):
@@ -185,6 +219,9 @@ def main() -> None:
                 "sf": float(sf),
                 "cpus": cpus,
                 "n_queries": len(times),
+                "calibration_range_sum_s": calibration_s,
+                "loadavg_1m_start": round(loadavg_start, 2),
+                "loadavg_1m_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -21,13 +21,16 @@ Banding math for tuning: P(candidate | jaccard=s) = 1 − (1 − s^r)^b
 with ``n_hashes = b·r``. Raise r to cut false candidates (smaller
 buckets), raise b to cut false negatives.
 
-Tokens are lowercased whitespace words; the token-set representation
+Tokens default to whitespace words; ``tokenizer="char5"`` switches the
+feature space to character-5-gram shingles (the q_neardup_ngram
+semantics) — the banding machinery is identical because MinHash only
+sees a set of strings, whatever they are. The token-set representation
 is shared with the brute path so both strategies see identical sets.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -43,11 +46,36 @@ DEFAULT_N_HASHES = 64
 DEFAULT_BANDS = 8  # → rows-per-band r = n_hashes // bands = 8
 
 
-def token_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, t): distinct whitespace tokens per document."""
-    return docs.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("t")
+def _char5_shingles() -> Column:
+    """Distinct character-5-gram shingles of ``text``.
+
+    Spark's sequence(1, L-4) DESCENDS for L < 5 ([1, 0] for L=1),
+    emitting phantom shingles where DuckDB's range() yields none —
+    guard short texts to an empty array (same guard as the registered
+    q_neardup_ngram brute form, so both strategies see identical sets).
+    """
+    return F.array_distinct(
+        F.expr(
+            "CASE WHEN length(text) >= 5 "
+            "THEN transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
     )
+
+
+def token_sets(docs: DataFrame, tokenizer: str = "words") -> DataFrame:
+    """(doc_id, t): distinct feature set per document.
+
+    ``tokenizer="words"``: whitespace tokens. ``tokenizer="char5"``:
+    character-5-gram shingles (texts shorter than 5 chars → empty set).
+    """
+    if tokenizer == "words":
+        arr = F.array_distinct(F.split(F.col("text"), " "))
+    elif tokenizer == "char5":
+        arr = _char5_shingles()
+    else:
+        raise ValueError(f"unknown tokenizer: {tokenizer!r}")
+    return docs.select("doc_id", arr.alias("t"))
 
 
 def _exact_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
@@ -72,11 +100,17 @@ def neardup_pairs(
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
     persist: bool = False,
+    tokenizer: str = "words",
 ) -> DataFrame:
-    """All document pairs (doc_a < doc_b) with token-set Jaccard ≥ threshold.
+    """All document pairs (doc_a < doc_b) with feature-set Jaccard ≥ threshold.
 
     Returns (doc_a, doc_b, jaccard) — jaccard is the EXACT value under
-    both strategies; minhash only prunes candidates.
+    both strategies; minhash only prunes candidates. ``tokenizer``
+    selects the feature space (see ``token_sets``); banding r/b should
+    be retuned per (tokenizer, threshold) — e.g. char-5-gram at
+    θ=0.8 wants r=4/b=16 (miss prob at the boundary
+    1−(1−(1−0.8⁴)¹⁶) ≈ 2.1e-4), where the word-token default r=8/b=8
+    would miss ~23% of boundary pairs.
 
     ``persist`` (minhash only): the token-set and band-row tables are
     each referenced on BOTH sides of a self-join, and Spark computes a
@@ -89,7 +123,7 @@ def neardup_pairs(
     and owns the unpersist (the bench opts in and clears cache per
     entry).
     """
-    tok = token_sets(docs)
+    tok = token_sets(docs, tokenizer=tokenizer)
     if strategy == "minhash" and persist:
         tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
     a = tok.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
@@ -106,15 +140,21 @@ def neardup_pairs(
     if r * bands != n_hashes:
         raise ValueError("n_hashes must be divisible by bands")
 
-    # MinHash signature: for each seed i, min over tokens of
-    # xxhash64('i:' || token). Seeding via prefix keeps everything in
-    # one JVM expression; min is a plain partial+final aggregate.
+    # MinHash signature: hash each token ONCE (string → bigint), then
+    # derive the i-th hash family as xxhash64(i, h0) — a long-pair hash,
+    # ~2× cheaper per family than re-hashing the string with a seed
+    # prefix (measured 15.4 s → 8.8 s for 64 families over 1M char-5
+    # shingle instances at sf0.1). Same independence properties: each
+    # family is a full avalanche over (i, h0). min is a plain
+    # partial+final aggregate — map-side combine keeps the shuffle at
+    # one row per (doc, 64 longs).
     exploded = tok.select("doc_id", F.explode("t").alias("tok"))
+    base = exploded.select("doc_id", F.xxhash64("tok").alias("h0"))
     sig_cols = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    sigs = exploded.groupBy("doc_id").agg(*sig_cols)
+    sigs = base.groupBy("doc_id").agg(*sig_cols)
 
     # Band hashes: one row per (doc, band); bucket key is the hash of
     # the band's r signature components.

@@ -28,30 +28,31 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # Registration order IS the driver's grading order: the t2 harness checks
-# the first N registered queries (N=27 in r1, 50 in r2/r3). Round-4
-# rotation (VERDICT r3 #1): the 32 queries that were stale (windows,
-# half of scalars — green only in r02), fixed-but-unregraded
-# (q_str_funcs/q_math_funcs), or never graded (streaming, UDFs,
-# sources, JSON/array/map/hash scalars) move to the FRONT; the llm +
-# llm_ext families (all driver-green in r03) anchor the tail of the
-# window. windows 1-9, scalars 10-20, stream_equiv 21-25, udfs 26-30,
-# sources_q 31-35, llm 36-43, llm_ext 44-50 — exactly 50. relational
-# (51-77) and aggregates (78-85) rotate out; both were fully green in
-# r03 (see COVERAGE.md ledger for per-query last-green rounds).
+# the first N registered queries (N=27 in r1, 50 in r2+). Round-5
+# rotation (VERDICT r4 #1): the 4 never-graded r4 additions (sampling_q,
+# corpus_q) and the 35 r3-stale families (relational, aggregates) move
+# to the FRONT so every registered query's newest green is ≤1 round old
+# after this round. The tail of the window anchors with llm_ext + the
+# first llm queries — exactly the families touched by this round's
+# dedup/simsearch changes (char-shingle MinHash tokenizer, cosine
+# prefilter margin), so those edits are driver-re-proven, not just
+# pytest-proven. sampling_q 1-2, corpus_q 3-4, relational 5-31,
+# aggregates 32-39, llm_ext 40-47 (incl. the new q_neardup_ngram_lsh),
+# llm 48-50 (q_dedup_hash, q_neardup_jaccard, q_simsearch_topk).
+# windows/scalars/stream_equiv/udfs/sources_q + llm tail rotate out —
+# all driver-green in r04 (COVERAGE.md ledger has per-query rounds).
 _MODULES = (
+    "sampling_q",
+    "corpus_q",
+    "relational",
+    "aggregates",
+    "llm_ext",
+    "llm",
     "windows",
     "scalars",
     "stream_equiv",
     "udfs",
     "sources_q",
-    "llm",
-    "llm_ext",
-    "relational",
-    "aggregates",
-    # r4 additions append at the tail (slots 86+) so the graded window
-    # 1-50 stays exactly the rotation recorded in COVERAGE.md.
-    "sampling_q",
-    "corpus_q",
 )
 
 
