@@ -203,7 +203,20 @@ def neardup_pairs(
 def simhash_signatures(docs: DataFrame, n_planes: int = 32) -> DataFrame:
     """(doc_id, simhash): same construction as the registered
     q_dedup_simhash (one md5 digest per token feeds all planes), as a
-    reusable operator."""
+    reusable operator.
+
+    ``n_planes`` is capped at 32: plane i reads hex digit i of the
+    token's md5, and md5 has exactly 32 hex chars. Past that,
+    substring() returns '' and '' < '8' is true, so every extra plane
+    would contribute +1 per token — a constant-1 bit that silently
+    loses signature entropy (r4 advisor). Refuse rather than degrade;
+    >32 planes would need a second digest (md5(tok || ':1')) per block.
+    """
+    if not 1 <= n_planes <= 32:
+        raise ValueError(
+            f"n_planes must be in [1, 32] (one md5 hex digit per plane), "
+            f"got {n_planes}"
+        )
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
     )

@@ -33,23 +33,48 @@ def pack_bins(
     budget: int,
     offset_col: str = "offset",
     bin_col: str = "bin",
+    tiebreak_cols: tuple[str, ...] = (),
+    check_unique: bool = False,
 ) -> DataFrame:
     """Attach (offset, bin): offset = Σ sizes of all rows strictly
     before this row in ``order_col`` order; bin = offset div budget —
     "concatenate in order, chunk every ``budget`` tokens" semantics
     (a row straddling a boundary belongs to the bin its first token
     lands in).
+
+    Precondition (r5, advisor): (order_col, *tiebreak_cols) must be a
+    TOTAL order — tied rows would get arbitrary relative order under
+    the rows-based running sum, so their offsets (and possibly bins)
+    would vary run to run. Pass ``tiebreak_cols`` to break known ties
+    (they join the sort key everywhere), and/or ``check_unique=True``
+    to fail loudly on duplicates (one extra count job — worth it the
+    first time a new order key is trusted).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    order = [order_col, *tiebreak_cols]
+    if check_unique:
+        n_dup = (
+            df.groupBy(*order)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                f"order key {order} is not a total order: duplicate key "
+                "values exist, so offsets would be nondeterministic — add "
+                "tiebreak_cols to make the ordering total"
+            )
     d = (
-        df.repartitionByRange(F.asc(order_col))
-        .sortWithinPartitions(F.asc(order_col))
+        df.repartitionByRange(*[F.asc(c) for c in order])
+        .sortWithinPartitions(*[F.asc(c) for c in order])
         .withColumn("__pid", F.spark_partition_id())
     )
     lw = (
         Window.partitionBy("__pid")
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("__incl", F.sum(F.col(size_col).cast("bigint")).over(lw))

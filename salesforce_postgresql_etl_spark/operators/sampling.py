@@ -28,12 +28,19 @@ from pyspark.sql import functions as F
 
 
 def _bucket(key: Column, seed: str) -> Column:
-    """2-hex-digit uniform bucket in '00'..'ff' (256 values)."""
-    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 2)
+    """2-hex-digit uniform bucket in '00'..'ff' (256 values).
+
+    NULL keys coalesce to the sentinel '<null>' so every row — including
+    null-keyed ones — lands in exactly one bucket; without this, md5(NULL)
+    is NULL, every CASE arm is NULL, and hash_split's disjoint+exhaustive
+    contract silently breaks for null keys."""
+    k = F.coalesce(key.cast("string"), F.lit("<null>"))
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), k)), 1, 2)
 
 
 def _bucket_sql(key_sql: str, seed: str) -> str:
-    return f"substring(md5('{seed}:' || CAST({key_sql} AS VARCHAR)), 1, 2)"
+    k = f"COALESCE(CAST({key_sql} AS VARCHAR), '<null>')"
+    return f"substring(md5('{seed}:' || {k}), 1, 2)"
 
 
 def _boundary(n: int) -> str:

@@ -148,12 +148,27 @@ def _dot_dbl(a: Column, b: Column) -> Column:
     )
 
 
-# Pre-filter margin: the decimal dot rounds each float to DECIMAL(12,7)
-# BEFORE multiplying, so |cos_dec − cos_dbl| ≤ ~64 · 2e-7 ≈ 1.3e-5 for
-# 64-dim unit-scale vectors; 1e-3 is ~75× that bound. Any pair passing
-# the decimal threshold therefore always passes the double filter at
-# threshold − margin — the filter only discards, never decides.
-_PREFILTER_MARGIN = 1e-3
+# Pre-filter margin (r5, advisor: the old fixed 1e-3 assumed ~64-dim
+# unit-scale vectors; a small-norm embedding could see a decimal-vs-
+# double discrepancy past a fixed margin and be silently dropped from
+# the graded brute path). Derived per ROW instead: DECIMAL(12,7)
+# rounds each component within half an ulp, ε = 5e-8, so
+#   |dot_dec − dot_dbl| ≤ ε·(Σ|aᵢ| + Σ|bᵢ|) + d·ε²
+# and with Σ|aᵢ| ≤ √d·‖a‖ (Cauchy–Schwarz), dividing by the SHARED
+# denominator ‖a‖‖b‖ (identical in both folds, so it cancels in the
+# difference):
+#   |cos_dec − cos_dbl| ≤ ε·√d·(1/‖a‖ + 1/‖b‖) + d·ε²/denom
+# The double fold's own rounding adds ≤ d·2⁻⁵²·‖a‖‖b‖/denom ≈ 1.4e-14
+# at d=64. A 4× safety factor plus a 1e-12 absolute floor covers both
+# tail terms with orders of magnitude to spare. The filter only ever
+# DISCARDS pairs the decimal threshold would also discard.
+_DEC_EPS = 5e-8
+
+
+def _prefilter_margin() -> Column:
+    d = F.size("e_a").cast("double")
+    inv_norms = F.lit(1.0) / F.sqrt("n_a") + F.lit(1.0) / F.sqrt("n_b")
+    return F.lit(4.0 * _DEC_EPS) * F.sqrt(d) * inv_norms + F.lit(1e-12)
 
 
 def _exact_cosine(pairs: DataFrame, threshold: float) -> DataFrame:
@@ -161,17 +176,17 @@ def _exact_cosine(pairs: DataFrame, threshold: float) -> DataFrame:
     Shared by both strategies so LSH only ever PRUNES — any pair it
     reports carries the identical value the brute form would emit.
 
-    Two-phase verify: a cheap double cosine with a conservative margin
-    discards the low-similarity mass first (the decimal fold is ~5×
-    the cost of the double one — measured 18 s → 4 s on the sf0.1 LSH
-    path), then the decimal-exact value is computed only for survivors
-    and applies the REAL threshold. Output is identical to a
-    decimal-only pass by the margin argument above."""
+    Two-phase verify: a cheap double cosine with a row-adaptive
+    conservative margin discards the low-similarity mass first (the
+    decimal fold is ~5× the cost of the double one — measured 18 s →
+    4 s on the sf0.1 LSH path), then the decimal-exact value is
+    computed only for survivors and applies the REAL threshold. Output
+    is identical to a decimal-only pass by the margin argument above."""
     denom = F.sqrt("n_a") * F.sqrt("n_b")
     rough = _dot_dbl(F.col("e_a"), F.col("e_b")) / denom
     cos = _dot_dec(F.col("e_a"), F.col("e_b")) / denom
     return (
-        pairs.where(rough >= F.lit(threshold - _PREFILTER_MARGIN))
+        pairs.where(rough >= F.lit(threshold) - _prefilter_margin())
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")

@@ -121,6 +121,18 @@ def test_simhash_banded_equals_brute(spark):
     assert len(pairs("banded", 0)) > 0
 
 
+def test_simhash_rejects_more_planes_than_md5_digits(spark):
+    """r5 (advisor): plane i reads md5 hex digit i; past 32 the
+    substring is '' and the plane's bit is a constant 1 — silent
+    entropy loss. Refuse instead."""
+    from salesforce_postgresql_etl_spark.operators.dedup import simhash_signatures
+
+    docs = load(spark, SF_DIR, "documents")
+    for bad in (0, 33, 64):
+        with pytest.raises(ValueError, match="n_planes"):
+            simhash_signatures(docs, n_planes=bad)
+
+
 def test_simhash_banded_rejects_bad_widths(spark):
     from salesforce_postgresql_etl_spark.operators.dedup import simhash_neardup
     from salesforce_postgresql_etl_spark.sources import load
@@ -169,6 +181,55 @@ def test_embed_lsh_equals_brute_at_dedup_threshold(spark, neardup_corpus):
     # cosine ≈ 0.999 is (1 − p⁸)³² with p = 1 − arccos(.999)/π ≈ 0.986
     # → ~2e-13; the planes are fixed, so this is deterministic.
     assert lsh == brute
+
+
+def test_prefilter_margin_adapts_to_small_norm_vectors(spark):
+    """r5 (advisor): the old fixed 1e-3 prefilter margin assumed
+    unit-scale vectors. On tiny-norm embeddings the decimal-vs-double
+    cosine discrepancy can exceed any fixed margin (components of
+    magnitude ~1e-6 shift by up to ~3% under DECIMAL(12,7)
+    quantization), silently dropping pairs the decimal threshold
+    accepts. The margin is now derived per row from dim and norms —
+    the brute path must equal a prefilter-free decimal-only pass."""
+    from salesforce_postgresql_etl_spark.operators.simsearch import (
+        _dot_dec,
+        neardup_embed_pairs,
+        with_sq_norm,
+    )
+
+    dim, n = 8, 40
+    rows = [
+        (i, [((i * 31 + j * 17) % 23 - 11) * 1.5e-7 for j in range(dim)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # measured on this fixture: 17 pairs have decimal cosine ≥ 0.9999
+    # while 14 of them have DOUBLE cosine < 0.9989 — under the old
+    # fixed 1e-3 margin those 14 were silently prefiltered away.
+    th = 0.9999
+
+    # decimal-only reference: _exact_cosine without the double prefilter
+    base = with_sq_norm(emb).select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("e"), "sq_norm"
+    )
+    a = base.select(
+        F.col("vid").alias("vec_a"), F.col("e").alias("e_a"),
+        F.col("sq_norm").alias("n_a"),
+    )
+    b = base.select(
+        F.col("vid").alias("vec_b"), F.col("e").alias("e_b"),
+        F.col("sq_norm").alias("n_b"),
+    )
+    cos = _dot_dec(F.col("e_a"), F.col("e_b")) / (F.sqrt("n_a") * F.sqrt("n_b"))
+    ref = _vpairs(
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= th)
+        .select("vec_a", "vec_b", "cosine")
+    )
+    assert len(ref) > 0, "fixture must produce qualifying pairs"
+    got = _vpairs(neardup_embed_pairs(emb, th, strategy="brute"))
+    assert got == ref
 
 
 def test_embed_lsh_is_subset_below_dedup_regime(spark):

@@ -46,3 +46,42 @@ def test_bin_capacity_semantics(spark):
 def test_rejects_bad_budget(spark):
     with pytest.raises(ValueError, match="budget"):
         pack_bins(_toy(spark), "doc_id", "n_tok", 0)
+
+
+def _dup_order(spark):
+    # order key 'grp' has ties; doc_id breaks them totally.
+    rows = [(i // 3, i, (i * 5) % 7 + 1) for i in range(60)]
+    return spark.createDataFrame(rows, "grp long, doc_id long, n_tok long")
+
+
+def test_check_unique_fails_loudly_on_ties(spark):
+    """r5 (advisor): tied order keys make offsets nondeterministic —
+    the precondition must be checkable, not silent."""
+    with pytest.raises(ValueError, match="total order"):
+        pack_bins(_dup_order(spark), "grp", "n_tok", 20, check_unique=True)
+    # with the tiebreak the same check passes
+    out = pack_bins(
+        _dup_order(spark), "grp", "n_tok", 20,
+        tiebreak_cols=("doc_id",), check_unique=True,
+    )
+    assert out.count() == 60
+
+
+def test_tiebreak_makes_offsets_deterministic(spark):
+    df = _dup_order(spark)
+    sizes = {r.doc_id: r.n_tok for r in df.collect()}
+    # expected: exclusive prefix sums in (grp, doc_id) order — and
+    # doc_id order == that order for this fixture
+    run, expect = 0, {}
+    for i in sorted(sizes):
+        expect[i] = (run, run // 20)
+        run += sizes[i]
+    for parts in (3, 17):
+        got = {
+            r.doc_id: (r.offset, r.bin)
+            for r in pack_bins(
+                df.repartition(parts), "grp", "n_tok", 20,
+                tiebreak_cols=("doc_id",),
+            ).collect()
+        }
+        assert got == expect

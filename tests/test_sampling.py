@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from salesforce_postgresql_etl_spark.operators.sampling import (
     hash_split,
+    hash_split_sql,
     stratified_sample,
 )
 from salesforce_postgresql_etl_spark.sources import load
@@ -64,6 +65,32 @@ def test_split_rejects_bad_fractions(spark):
     d = load(spark, SF_DIR, "documents").select("doc_id")
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(d, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_split_null_keys_get_exactly_one_label(spark):
+    """r5 (advisor): md5(NULL) is NULL and every CASE arm evaluates
+    NULL, so without the '<null>' coalesce a null-keyed row got
+    split = NULL — breaking the disjoint+exhaustive contract. Null
+    keys must land in exactly one bucket, identically in both engines."""
+    import duckdb
+
+    df = spark.createDataFrame([(None,), ("a",), ("b",), (None,)], "k string")
+    s = hash_split(df, "k", FR)
+    assert s.count() == 4
+    assert s.where(F.col("split").isNull()).count() == 0
+    # all NULL keys share one deterministic assignment
+    null_splits = {r.split for r in s.where(F.col("k").isNull()).collect()}
+    assert len(null_splits) == 1
+    # Spark ≡ DuckDB on the null-key arm too (the oracle SQL builder
+    # carries the same coalesce)
+    sql = hash_split_sql("k", FR)
+    expect = sorted(
+        duckdb.sql(
+            f"SELECT k, {sql} AS split FROM (VALUES (NULL), ('a'), ('b'), (NULL)) t(k)"
+        ).fetchall()
+    , key=str)
+    got = sorted(((r.k, r.split) for r in s.collect()), key=str)
+    assert got == expect
 
 
 def test_stratified_allowlist_and_determinism(spark):

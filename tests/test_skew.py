@@ -85,6 +85,28 @@ def test_salted_join_refuses_small_side_preserving_types(spark):
             salted_join(big, dim, "k", "dk", how=how)
 
 
+def test_salted_agg_tolerates_map_columns(spark):
+    """r5 (advisor): xxhash64 rejects MapType at analysis time, so the
+    full-row salt must skip map columns (e.g. events.props) instead of
+    failing the whole salted plan."""
+    df = spark.createDataFrame(
+        [(1, 1.0, {"a": "x"}), (1, 2.0, {"b": "y"}), (2, 3.0, None)],
+        "k long, v double, props map<string,string>",
+    )
+    rows = {r.k: (r.n, float(r.sum_val)) for r in salted_agg(df, ["k"], "v").collect()}
+    assert rows == {1: (2, 3.0), 2: (1, 3.0)}
+
+
+def test_row_salt_refuses_all_map_rows(spark):
+    from salesforce_postgresql_etl_spark.operators.skew import _row_salt
+
+    df = spark.createDataFrame(
+        [({"a": "x"},)], "props map<string,string>"
+    )
+    with pytest.raises(ValueError, match="hashable"):
+        _row_salt(df, 8)
+
+
 def _plain_agg(pairs):
     out = {}
     for k, v in pairs:
