@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.decontam import contamination_overlap
 from ..operators.packing import pack_bins
 from ..sources import load
 from . import register
@@ -93,13 +94,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = d.select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     ).select("doc_id", F.explode(_trigrams()).alias("g"))
-    bench_g = tri.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    bench_g = tri.where(F.col("doc_id") % 50 == 0).select("g")
     train_tri = tri.where(F.col("doc_id") % 50 != 0)
-    ov = (
-        train_tri.join(F.broadcast(bench_g), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
+    # eval-suite-sized set → broadcast; operators/decontam.py documents
+    # (and tests) the shuffle fallback for corpus-sized bench sets.
+    ov = contamination_overlap(train_tri, bench_g, strategy="broadcast")
     train = d.where(F.col("doc_id") % 50 != 0).select("doc_id")
     return train.join(ov, "doc_id", "left").select(
         "doc_id",

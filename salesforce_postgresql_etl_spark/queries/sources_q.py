@@ -156,3 +156,47 @@ def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_extract(e, "ts", store, "events").select(
         "event_id", "ts", "user_id", "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# S9 — bucketed-table sink + co-located fact–fact join (SCALE.md's 100 TB
+# upgrade made a registered surface). The write pays the shuffle once;
+# the join then plans with ZERO Exchange before the final aggregate
+# (plan pinned in tests/test_bucketing.py::test_write_bucketed_helper).
+# The oracle joins the raw parquet directly — a lossless bucketed
+# write/read means identical aggregates.
+# ---------------------------------------------------------------------------
+from ..sources.bucketed import read_bucketed, write_bucketed  # noqa: E402
+from ..functions.determinism import dsum, sql_dsum  # noqa: E402
+
+
+@register(
+    "q_join_bucketed",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       {sql_dsum("l_extendedprice", 2, "sum_price")}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    base = _tmp_dir(spark, "bucketed")
+    write_bucketed(
+        l, "sfpg_lineitem_b", path=os.path.join(base, "l"), buckets=8, key="l_orderkey"
+    )
+    write_bucketed(
+        o, "sfpg_orders_b", path=os.path.join(base, "o"), buckets=8, key="o_orderkey"
+    )
+    j = read_bucketed(spark, "sfpg_lineitem_b").join(
+        read_bucketed(spark, "sfpg_orders_b"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice", "sum_price"),
+    )

@@ -1,0 +1,133 @@
+"""Salesforce model as a pluggable Spark 4 Python DataSource (SURVEY §2.1 S2).
+
+``sources/salesforce.py`` models the extractor's seams as library
+functions (type lattice, describe()→schema, queryMore pagination).
+This module graduates that model to an actual registered source so a
+user writes the idiomatic::
+
+    spark.dataSource.register(SalesforceModelDataSource)
+    df = (spark.read.format("sf_model")
+          .option("describe", json.dumps(fields))
+          .option("path", "/data/account_pages.jsonl")
+          .option("page_size", "2000")
+          .load())
+
+Scale shape (the part that matters at 100 TB):
+
+- ``partitions()`` runs ON THE DRIVER and does only metadata work: one
+  sequential byte-offset scan of the JSONL file to lay out page
+  boundaries — the moral equivalent of the Bulk API's job-status call
+  that lists part files, or the REST cursor plan. No record parsing.
+- each page → one ``InputPartition`` carrying a byte range; executors
+  ``seek()`` and parse ONLY their slice, in parallel. Nothing is
+  unioned driver-side (contrast ``extract_pages``'s incremental-union
+  model, which is the per-page *semantics* oracle, not the scale path).
+- the declared schema comes from the describe() field list through the
+  same ``SF_TYPE_MAP`` lattice, so Catalyst plans against real types
+  and never infers.
+
+In production the fetcher behind a partition would be an HTTP GET of
+one Bulk-API part file (CSV) or one REST queryMore page; here it is a
+byte range of a local JSONL fixture — the partition/planning mechanics
+are identical and are what the tests pin down.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime as _dt
+import decimal
+import json
+from collections.abc import Callable, Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .salesforce import schema_from_describe
+
+
+class _PagePartition(InputPartition):
+    """One queryMore page: a [start, end) byte range of the JSONL file."""
+
+    def __init__(self, index: int, start: int, end: int):
+        self.index = index
+        self.start = start
+        self.end = end
+
+
+def _converter(dtype: T.DataType) -> Callable[[object], object]:
+    """JSON scalar → Python value matching the Spark type (Arrow-bound)."""
+    if isinstance(dtype, T.DateType):
+        return lambda v: None if v is None else _dt.date.fromisoformat(v)
+    if isinstance(dtype, T.TimestampType | T.TimestampNTZType):
+        return lambda v: None if v is None else _dt.datetime.fromisoformat(v)
+    if isinstance(dtype, T.DecimalType):
+        return lambda v: None if v is None else decimal.Decimal(str(v))
+    if isinstance(dtype, T.BinaryType):
+        return lambda v: None if v is None else base64.b64decode(v)
+    if isinstance(dtype, T.BooleanType):
+        return lambda v: None if v is None else bool(v)
+    if isinstance(dtype, T.LongType):
+        return lambda v: None if v is None else int(v)
+    if isinstance(dtype, T.DoubleType):
+        return lambda v: None if v is None else float(v)
+    return lambda v: v
+
+
+class SFModelReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict):
+        self.schema = schema
+        self.path = options["path"]
+        self.page_size = int(options.get("page_size", "2000"))
+        if self.page_size <= 0:
+            raise ValueError("page_size must be positive")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # Driver-side metadata-only pass: byte offsets of page starts.
+        # (Bulk API analog: list part files; REST analog: cursor plan.)
+        offsets = [0]
+        n_lines = 0
+        with open(self.path, "rb") as f:
+            for line in f:
+                n_lines += 1
+                if n_lines % self.page_size == 0:
+                    offsets.append(f.tell())
+        end = offsets.pop() if n_lines % self.page_size == 0 else None
+        with open(self.path, "rb") as f:
+            f.seek(0, 2)
+            file_end = f.tell()
+        bounds = offsets + [file_end if end is None else end]
+        if n_lines == 0:
+            return [_PagePartition(0, 0, 0)]
+        return [
+            _PagePartition(i, bounds[i], bounds[i + 1])
+            for i in range(len(bounds) - 1)
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        # Executor-side: parse ONLY this partition's byte slice.
+        convs = [_converter(f.dataType) for f in self.schema.fields]
+        names = [f.name for f in self.schema.fields]
+        with open(self.path, "rb") as f:
+            f.seek(partition.start)
+            blob = f.read(partition.end - partition.start)
+        for raw in blob.splitlines():
+            if not raw.strip():
+                continue
+            rec = json.loads(raw)
+            yield tuple(c(rec.get(n)) for n, c in zip(names, convs))
+
+
+class SalesforceModelDataSource(DataSource):
+    """``spark.read.format("sf_model")`` — options: describe, path, page_size."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sf_model"
+
+    def schema(self) -> T.StructType:
+        fields = json.loads(self.options["describe"])
+        return schema_from_describe(fields)
+
+    def reader(self, schema: T.StructType) -> SFModelReader:
+        return SFModelReader(schema, self.options)

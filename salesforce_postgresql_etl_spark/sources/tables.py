@@ -4,14 +4,21 @@ The ten driver-generated parquet tables stand in for Salesforce objects
 (FIXTURES.md). Reads are plain ``spark.read.parquet`` so the vectorized
 columnar reader + Catalyst pushdown/pruning apply untouched.
 
-The one special case is ``events``: its ``ts`` column is parquet INT64
-TIMESTAMP(NANOS, false). With ``spark.sql.legacy.parquet.nanosAsLong``
-Spark reads it as a raw nanosecond ``long``; we rebuild a timestamp with
-**integer** division (``ts div 1000`` — float division would overflow the
-53-bit mantissa at ~1.7e18 ns and corrupt microseconds) and cast to
-``timestamp_ntz`` so values compare bit-for-bit with the DuckDB oracle's
-naive timestamps regardless of the session's later timezone (verified
-recipe, FIXTURES.md "Mandatory events load recipe").
+The one special case is ``events.ts``, normalized to ``timestamp_ntz``
+adaptively because the driver has shipped the fixture in two physical
+encodings across rounds:
+
+- parquet INT64 TIMESTAMP(NANOS, false) (rounds 1-4): with
+  ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as a raw
+  nanosecond ``long``; we rebuild the timestamp with **integer**
+  division (``ts div 1000`` — float division would overflow the 53-bit
+  mantissa at ~1.7e18 ns and corrupt microseconds).
+- parquet TIMESTAMP(MICROS) (round 5+): Spark reads it natively as
+  ``timestamp_ntz`` (inferTimestampNTZ); only an idempotent cast runs.
+
+Either way the result is naive-UTC ``timestamp_ntz`` that compares
+bit-for-bit with the DuckDB oracle's naive timestamps regardless of the
+session's later timezone (FIXTURES.md "Mandatory events load recipe").
 """
 
 from __future__ import annotations
@@ -35,14 +42,28 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize an events-shaped frame's ``ts`` to ``timestamp_ntz``.
+
+    Dispatches on the *read* type (see module docstring): raw nanos long
+    → integer-div rebuild; any timestamp flavor → plain cast (a no-op
+    for ntz, a wall-clock reinterpretation is impossible because the
+    session timezone is pinned to UTC in ``configure_runtime``).
+    """
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        return df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one fixture table; normalizes ``events.ts`` to timestamp_ntz."""
     configure_runtime(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        df = df.withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        )
+        df = normalize_event_ts(df)
     return df
 
 

@@ -23,24 +23,23 @@ from pyspark.sql import functions as F
 
 from ..session import configure_runtime
 
-# Raw parquet schema of the events fixture (ts is INT64 nanos — read as
-# long under nanosAsLong, rebuilt below exactly like sources.load).
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, src_dir: str, max_files: int | None = None) -> DataFrame:
-    """File-source stream over events parquet chunks (ns-ts normalized)."""
+    """File-source stream over events parquet chunks, ts → timestamp_ntz.
+
+    readStream requires a declared schema; we probe it with a driver-side
+    batch footer read of the same directory (cheap, no data scan) so the
+    stream adapts to either physical ts encoding the driver has shipped
+    (raw nanos long or native micros timestamp — see sources/tables.py),
+    then normalizes exactly like the batch loader.
+    """
     configure_runtime(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    raw_schema = spark.read.parquet(src_dir).schema
+    reader = spark.readStream.schema(raw_schema)
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
-    df = reader.parquet(src_dir)
-    return df.withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-    )
+    from ..sources.tables import normalize_event_ts
+
+    return normalize_event_ts(reader.parquet(src_dir))
 
 
 # --- transformations (batch ≡ stream) --------------------------------------

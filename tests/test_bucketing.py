@@ -58,3 +58,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS lb_bucketed")
         spark.sql("DROP TABLE IF EXISTS ob_bucketed")
+
+
+def test_write_bucketed_helper_join_has_no_exchange(spark, tmp_path, no_broadcast):
+    from salesforce_postgresql_etl_spark.sources.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    l = load(spark, SF_DIR_TINY, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, SF_DIR_TINY, "orders").select("o_orderkey", "o_orderpriority")
+    try:
+        write_bucketed(
+            l, "lb_helper", path=str(tmp_path / "lh"), buckets=8, key="l_orderkey"
+        )
+        write_bucketed(
+            o, "ob_helper", path=str(tmp_path / "oh"), buckets=8, key="o_orderkey"
+        )
+        j = read_bucketed(spark, "lb_helper").join(
+            read_bucketed(spark, "ob_helper"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"helper-bucketed join shuffles:\n{plan[:800]}"
+        assert "SortMergeJoin" in plan
+        assert j.count() == l.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lb_helper")
+        spark.sql("DROP TABLE IF EXISTS ob_helper")
