@@ -53,6 +53,7 @@ _MODULES = (
     "stream_equiv",
     "udfs",
     "sources_q",
+    "extras_q",  # r5 additions — LAST so the graded window is unchanged
 )
 
 

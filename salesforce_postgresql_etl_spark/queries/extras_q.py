@@ -1,0 +1,87 @@
+"""Round-5 extension queries: dedup clustering and skew-salted agg.
+
+Tail-registered (new module, LAST in ``_MODULES``) so the r5 graded
+window 1–50 keeps exactly the rotation recorded in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.determinism import dec_to_double, sql_dec_to_double
+from ..operators.clustering import dedup_clusters
+from ..operators.dedup import neardup_pairs
+from ..operators.skew import salted_agg
+from ..sources import load
+from . import register
+from .llm import NEARDUP_THRESHOLD
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: pairs → connected components → canonical survivor.
+# The Spark side iterates min-label propagation (operators/clustering);
+# the oracle computes the same fixpoint as a recursive transitive
+# closure — tractable at sf0.01 (1,887 pairs), and provably the same
+# answer: both label every node with the min reachable doc_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_neardup_clusters",
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+            / CAST(len(a.t) + len(b.t)
+                   - len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+            >= {NEARDUP_THRESHOLD}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node)
+SELECT node AS doc_id,
+       MIN(r) AS cluster_id,
+       CAST(node = MIN(r) AS INT) AS is_canonical
+FROM reach
+GROUP BY node
+""",
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = neardup_pairs(d, threshold=NEARDUP_THRESHOLD, strategy="brute").select(
+        "doc_a", "doc_b"
+    )
+    return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted two-phase aggregation, driver-graded. The oracle is the
+# PLAIN group-by — salting is a physical rewrite, so identical output
+# IS the correctness claim (any salt assignment must vanish in the
+# merge). events.event_type is the natural hot-key shape: 5 values
+# over the whole table, each key ≫ one reducer's share at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_salted_agg",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {sql_dec_to_double("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS sum_val
+FROM events
+GROUP BY event_type
+""",
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = salted_agg(e, ["event_type"], "value", n_salts=16)
+    # decimal internally, DOUBLE at the surface (determinism doctrine —
+    # DuckDB's pandas bridge floats decimals, so the oracle must too)
+    return out.select(
+        "event_type", "n", dec_to_double(F.col("sum_val"), 2).alias("sum_val")
+    )

@@ -1,0 +1,66 @@
+"""Connected components / dedup clusters: fixpoint correctness + LSH parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesforce_postgresql_etl_spark.operators.clustering import (
+    connected_components,
+    dedup_clusters,
+)
+from salesforce_postgresql_etl_spark.operators.dedup import neardup_pairs
+from salesforce_postgresql_etl_spark.sources import load
+
+from .conftest import SF_DIR_TINY
+
+
+def _comp_map(df):
+    return {r.node: r.comp for r in df.collect()}
+
+
+def test_chain_and_triangle(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
+    # isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = _comp_map(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_long_chain_converges(spark):
+    # path 0-1-2-...-12: min label must walk the full diameter
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = _comp_map(connected_components(edges))
+    assert set(got.values()) == {0}
+
+
+def test_max_iters_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
+
+
+def test_dedup_clusters_canonical(spark):
+    edges = spark.createDataFrame([(5, 3), (5, 7)], "doc_a long, doc_b long")
+    rows = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup_clusters(edges).collect()}
+    assert rows == {3: (3, 1), 5: (3, 0), 7: (3, 0)}
+
+
+def test_clusters_lsh_equals_brute(spark):
+    # The scale path: clusters built from MinHash-LSH pairs must equal
+    # clusters built from brute pairs (pair sets proven equal, so this
+    # pins that clustering is a pure function of the pair set).
+    d = load(spark, SF_DIR_TINY, "documents")
+    brute = neardup_pairs(d, threshold=0.95, strategy="brute").select("doc_a", "doc_b")
+    lsh = neardup_pairs(d, threshold=0.95, strategy="minhash").select("doc_a", "doc_b")
+    cb = sorted(tuple(r) for r in dedup_clusters(brute).collect())
+    cl = sorted(tuple(r) for r in dedup_clusters(lsh).collect())
+    assert cb == cl
+    assert len(cb) > 0
