@@ -85,3 +85,64 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n", dec_to_double(F.col("sum_val"), 2).alias("sum_val")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution rollup cascade (hypertable continuous-aggregate
+# shape): events → minute partials → hour from MINUTE partials → day
+# from HOUR partials. At 100 TB you never re-scan raw events to build
+# coarser resolutions — each level re-aggregates the previous one
+# (~60× smaller), and every re-aggregation is decomposable
+# (count→sum, decimal-sum→sum, min→min, max→max). The oracle computes
+# day-level directly from raw events: a hash match proves the cascade
+# loses nothing.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup_cascade",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dec_to_double("SUM(CAST(value AS DECIMAL(18,2)))", 2)} AS sum_val,
+       MIN(value) AS min_val,
+       MAX(value) AS max_val
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    minute = e.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "minute").alias("hour"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+    return day.select(
+        "day",
+        "event_type",
+        "n",
+        dec_to_double(F.col("s"), 2).alias("sum_val"),
+        "min_val",
+        "max_val",
+    )

@@ -163,3 +163,29 @@ def q_state_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("event_seq"),
         running.alias("running_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T9 (r5) — stream–stream interval join, batch instantiation. The true
+# watermarked two-stream transport of the SAME function is asserted
+# batch ≡ stream in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+from ..streaming.jobs import attribution_join  # noqa: E402
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+SELECT c.user_id AS user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribution_join(load(spark, sf_dir, "events"))

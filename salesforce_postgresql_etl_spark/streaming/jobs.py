@@ -214,3 +214,54 @@ def run_available_now(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def attribution_join(events: DataFrame, horizon: str = "1 hour",
+                     watermark: str = "2 hours") -> DataFrame:
+    """T9: stream–stream interval join (click→purchase attribution).
+
+    Joins each purchase to the same user's clicks in the preceding
+    ``horizon``. As a stream this is the canonical watermarked
+    stream–stream inner join: BOTH sides carry a watermark and the join
+    condition bounds event-time distance, so the state store can evict
+    clicks older than watermark+horizon — bounded state at any scale,
+    the property that makes the join runnable forever on an unbounded
+    stream. On batch frames ``withWatermark`` is a no-op and the same
+    plan is a plain interval join (registered as q_stream_join with a
+    DuckDB oracle).
+    """
+    # withWatermark requires TIMESTAMP (ntz unsupported); the session is
+    # pinned UTC (configure_runtime) so the round-trip cast is
+    # value-preserving, and we cast back to ntz at the surface so the
+    # output schema matches the rest of the engine / the DuckDB oracle.
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return c.join(
+        p,
+        F.expr(
+            "c_user = user_id AND purchase_ts > click_ts "
+            f"AND purchase_ts <= click_ts + interval {horizon}"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )

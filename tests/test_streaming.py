@@ -274,3 +274,21 @@ def test_stateful_counts_transformwithstate(spark, tmp_path):
     for r in got_old.orderBy("n_events").collect():
         old_total[r.user_id] = r.total_value
     assert final_total == old_total
+
+
+def test_stream_stream_join_batch_equals_stream(spark, tmp_path):
+    # T9: watermarked stream-stream interval join. Inner joins emit
+    # matches as they arrive (the watermark only bounds state), so an
+    # availableNow drain in append mode must produce exactly the batch
+    # interval join.
+    from salesforce_postgresql_etl_spark.streaming.jobs import attribution_join
+
+    src = _chunked_events(spark, tmp_path, n_chunks=3)
+    batch = attribution_join(load(spark, SF_DIR_TINY, "events"))
+    got = run_available_now(
+        attribution_join(read_events_stream(spark, src)),
+        str(tmp_path / "ckpt_ssj"),
+        "append",
+    )
+    assert _rows(got) == _rows(batch)
+    assert len(_rows(batch)) > 0
