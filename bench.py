@@ -78,6 +78,14 @@ BENCH_QUERIES = [
     # the broadcast-decontamination scan.
     "q_pack_sequences",
     "q_decontaminate",
+    # r5 additions: hypertable-style partial re-aggregation, skew-salted
+    # two-phase agg, and the watermarked stream-stream interval join's
+    # batch instantiation. (q_join_bucketed is excluded like the other
+    # sink roundtrips — its cost is the one-time bucketed WRITE, not a
+    # repeatable query plan.)
+    "q_rollup_cascade",
+    "q_salted_agg",
+    "q_stream_join",
 ]
 
 
@@ -147,11 +155,28 @@ def _extra_benches():
         )
         return topk_cosine(emb, queries, k=3, strategy="ivf", centroids=cents)
 
+    def neardup_clusters_lsh(spark, sf_dir):
+        # r5: the full dedup pipeline's scale path — MinHash-LSH pairs
+        # into iterative connected components (the registered
+        # q_neardup_clusters keeps the brute pair source as its oracle
+        # form; clusters are a pure function of the pair set, proven
+        # equal in tests/test_clustering.py).
+        from salesforce_postgresql_etl_spark.operators.clustering import (
+            dedup_clusters,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        pairs = neardup_pairs(
+            docs, threshold=NEARDUP_THRESHOLD, strategy="minhash", persist=True
+        ).select("doc_a", "doc_b")
+        return dedup_clusters(pairs)
+
     return {
         "q_neardup_minhash": neardup_minhash,
         "q_neardup_ngram_lsh": neardup_ngram_lsh,
         "q_simsearch_ivf": simsearch_ivf,
         "q_neardup_embed_lsh": neardup_embed_lsh,
+        "q_neardup_clusters_lsh": neardup_clusters_lsh,
     }
 
 
