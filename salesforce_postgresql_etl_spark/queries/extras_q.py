@@ -146,3 +146,43 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-bucket reconciliation (operators/reconcile.py): source vs
+# sink diff without a full-table join. The query reconciles orders
+# against a deterministically drifted copy (keys % 101 deleted, rows
+# % 97 price-shifted); the oracle computes the same diff with a plain
+# FULL JOIN — equality proves the bucket-digest prefilter drops
+# nothing. The Spark side only full-joins rows from mismatched
+# buckets (~2% here; ~0 when in sync — the 100 TB point).
+# ---------------------------------------------------------------------------
+from ..operators.reconcile import reconcile_keys  # noqa: E402
+
+
+@register(
+    "q_reconcile",
+    oracle="""
+WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 97 = 0
+                       THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 101 != 0)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN b.o_orderkey IS NULL THEN 'missing_in_b'
+            WHEN a.o_orderkey IS NULL THEN 'missing_in_a'
+            ELSE 'changed' END AS status
+FROM orders a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+   OR a.o_totalprice != b.o_totalprice
+""",
+)
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "orders")
+    b = a.where(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return reconcile_keys(a, b, "o_orderkey")
