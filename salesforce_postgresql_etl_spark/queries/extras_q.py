@@ -186,3 +186,119 @@ def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return reconcile_keys(a, b, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality report: the post-sync validation pass an ETL tool runs
+# before promoting a load — key uniqueness, FK integrity, null rates.
+# One row out; every check is a scan-side aggregate (no row movement
+# beyond the FK anti-join, whose build side is the key column only).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dq_report",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS dup_order_keys,
+  (SELECT COUNT(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      AS fk_violations,
+  (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS null_orderdates,
+  (SELECT COUNT(*) FROM customer WHERE c_mktsegment IS NULL) AS null_segments
+""",
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    dup = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_order_keys")
+    )
+    fk = (
+        l.join(o.select("o_orderkey"), l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_violations"))
+    )
+    nulls_o = o.agg(
+        F.sum(F.col("o_orderdate").isNull().cast("bigint")).alias("null_orderdates")
+    )
+    nulls_c = c.agg(
+        F.sum(F.col("c_mktsegment").isNull().cast("bigint")).alias("null_segments")
+    )
+    return dup.crossJoin(fk).crossJoin(nulls_o).crossJoin(nulls_c)
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 merge (operators/scd.py): one snapshot applied to an
+# initial dimension — deletes close rows, changes close + reopen,
+# inserts open. The oracle mirrors the same open-slice ⨝ snapshot
+# algebra with IS-DISTINCT-FROM per tracked column.
+# ---------------------------------------------------------------------------
+from ..operators.scd import scd2_apply  # noqa: E402
+
+_SCD_T0 = "2024-01-01 00:00:00"
+_SCD_T1 = "2024-02-01 00:00:00"
+
+
+@register(
+    "q_scd2_merge",
+    oracle=f"""
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '{_SCD_T0}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer),
+inc AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 53 = 0 THEN 'CHANGED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer WHERE c_custkey % 89 != 0
+  UNION ALL
+  SELECT c_custkey + 1000000, c_mktsegment
+  FROM customer WHERE c_custkey % 71 = 0),
+closed AS (
+  SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from,
+         TIMESTAMP '{_SCD_T1}' AS valid_to
+  FROM cur LEFT JOIN inc ON cur.c_custkey = inc.c_custkey
+  WHERE inc.c_custkey IS NULL
+     OR cur.c_mktsegment IS DISTINCT FROM inc.c_mktsegment),
+unchanged AS (
+  SELECT cur.c_custkey, cur.c_mktsegment, cur.valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM cur JOIN inc ON cur.c_custkey = inc.c_custkey
+  WHERE cur.c_mktsegment IS NOT DISTINCT FROM inc.c_mktsegment),
+opened AS (
+  SELECT inc.c_custkey, inc.c_mktsegment,
+         TIMESTAMP '{_SCD_T1}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM inc LEFT JOIN cur ON inc.c_custkey = cur.c_custkey
+  WHERE cur.c_custkey IS NULL
+     OR cur.c_mktsegment IS DISTINCT FROM inc.c_mktsegment)
+SELECT * FROM closed UNION ALL
+SELECT * FROM unchanged UNION ALL
+SELECT * FROM opened
+""",
+)
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    current = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(_SCD_T0).cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    incoming = (
+        c.where(F.col("c_custkey") % 89 != 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 53 == 0, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 71 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+    )
+    return scd2_apply(current, incoming, "c_custkey", ["c_mktsegment"], _SCD_T1)

@@ -41,6 +41,7 @@ _SP_ALLOWED = {
     "q_csv_roundtrip": (1, "single-file test write"),
     "q_json_roundtrip": (1, "single-file test write"),
     "q_parquet_roundtrip": (1, "single-file test write"),
+    "q_dq_report": (4, "four global 1-row aggregates assembled into the report row"),
 }
 
 # queries allowed a BroadcastNestedLoopJoin: non-equi band joins with a
@@ -52,6 +53,7 @@ _BNL_ALLOWED = {
     "q_neardup_embed",  # brute oracle baseline; scale path = IVF/LSH
     "q_simsearch_topk",  # brute top-k baseline; scale path = IVF probe
     "q_tfidf",  # 1-row corpus-N joined to every doc
+    "q_dq_report",  # 1-row × 1-row report assembly crosses
 }
 
 _ROW_UDF_ALLOWED = {"q_udf_scalar"}  # X1: the slow path, demonstrated once
