@@ -127,3 +127,81 @@ def stratified_sample_sql(
         f"({strata_sql} = '{s}' AND {b} < '{_boundary(round(f * 256))}')"
         for s, f in fractions.items()
     )
+
+
+def _copies(weight: float) -> tuple[int, str]:
+    """Split a mixture weight into (floor, fractional-part boundary)."""
+    if weight < 0:
+        raise ValueError(f"negative mixture weight: {weight}")
+    base = int(weight)
+    return base, _boundary(round((weight - base) * 256))
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: str = "mix",
+    default_weight: float = 0.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling — up AND down weighting.
+
+    Corpus mixing ("2× books, 0.3× common-crawl") needs expected copy
+    count = weight per row: weight 2.5 → 2 copies always, a 3rd for
+    the hash-selected half of rows; weight 0.25 → one copy for a
+    quarter of rows. Copies carry ``copy_col`` = 1..n so downstream
+    shuffles see distinct rows. Same doctrine as hash_split: the
+    decision hangs only on md5(seed:key), so it is retry/engine/
+    append-stable, and the fractional part is quantized to 1/256.
+    Domains absent from ``weights`` get ``default_weight``.
+
+    Scale shape: per-row expressions + an explode that multiplies
+    output exactly by the intended mixture factor — no shuffle; the
+    0-copy rows are filtered before the explode.
+    """
+    w_expr = None
+    for domain, w in weights.items():
+        base, bound = _copies(w)
+        n = F.lit(base) + (
+            _bucket(F.col(key_col), seed) < F.lit(bound)
+        ).cast("int")
+        cond = F.col(domain_col) == domain
+        w_expr = F.when(cond, n) if w_expr is None else w_expr.when(cond, n)
+    dbase, dbound = _copies(default_weight)
+    dflt = F.lit(dbase) + (
+        _bucket(F.col(key_col), seed) < F.lit(dbound)
+    ).cast("int")
+    w_expr = dflt if w_expr is None else w_expr.otherwise(dflt)
+    return (
+        df.withColumn("_n_copies", w_expr)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+        .withColumn(copy_col, F.col(copy_col).cast("bigint"))
+    )
+
+
+def mixture_copies_sql(
+    domain_sql: str,
+    weights: dict[str, float],
+    key_sql: str,
+    seed: str = "mix",
+    default_weight: float = 0.0,
+) -> str:
+    """The per-row copy count as a SQL CASE expression (the oracle
+    pairs it with DuckDB's ``unnest(range(1, n+1))`` to materialize
+    copies)."""
+    b = _bucket_sql(key_sql, seed)
+    arms = " ".join(
+        "WHEN {d} = '{v}' THEN {base} + CASE WHEN {b} < '{bound}' THEN 1 ELSE 0 END".format(
+            d=domain_sql, v=domain, base=_copies(w)[0], b=b, bound=_copies(w)[1]
+        )
+        for domain, w in weights.items()
+    )
+    dbase, dbound = _copies(default_weight)
+    return (
+        f"CASE {arms} ELSE {dbase} + "
+        f"CASE WHEN {b} < '{dbound}' THEN 1 ELSE 0 END END"
+    )

@@ -54,6 +54,7 @@ _MODULES = (
     "udfs",
     "sources_q",
     "extras_q",  # r5 additions — LAST so the graded window is unchanged
+    "textprep_q",  # r5 additions (repetition/chunking/mixture) — tail
 )
 
 
