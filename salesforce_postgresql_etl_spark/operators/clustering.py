@@ -18,11 +18,13 @@ Scale shape (100 TB story):
   changed-count that decides termination.
 - rounds needed = graph diameter. Near-dup clusters are dense
   (quasi-cliques), so diameter is tiny — the fixture corpus converges
-  in 2-3 rounds. For adversarial long-chain graphs the known upgrade
-  is alternating large-star/small-star (Kiveris et al., "Connected
-  Components in MapReduce and Beyond"), which converges in O(log n)
-  rounds with the same per-round primitives; not needed for dedup
-  workloads and deliberately not implemented.
+  in 2-3 rounds. For adversarial long-chain graphs the upgrade is
+  alternating large-star/small-star (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", CIKM'14) — implemented below
+  as ``connected_components_star``: same per-round primitives (one
+  hash-partitioned groupBy-min + one join), O(log² n) rounds worst
+  case vs diameter, pytest-proven equivalent to min-label on chains,
+  cliques, and the LSH pair graph.
 - lineage: each round's labels are eagerly localCheckpoint-ed —
   without truncation the plan doubles every iteration and Catalyst
   analysis, not the data, becomes the bottleneck. On a cluster with an
@@ -106,4 +108,94 @@ def dedup_clusters(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Data
         F.col("node").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
         (F.col("node") == F.col("comp")).cast("int").alias("is_canonical"),
+    )
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as distinct (u > v) pairs, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star(u): every neighbor v > u re-attaches to
+    m = min(Γ(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    m = mins.select(
+        "u", F.least(F.col("mv"), F.col("u")).alias("m")
+    )
+    return _canon(
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star(u): all smaller neighbors (and u itself) attach to
+    the minimum smaller neighbor. Input must be canonical (u > v)."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = edges.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    own = mins.select("u", F.col("m").alias("v"))
+    return _canon(nbr.union(own))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 40,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction — the scale path
+    for graphs whose diameter rivals their size (min-label propagation
+    pays one round PER HOP of diameter; star contraction halves tree
+    heights every alternation, so chains collapse in O(log n) rounds).
+
+    Same contract as ``connected_components``: (a, b) edges → (node,
+    comp) with comp = min reachable id, only edge-touched nodes
+    returned. Fixpoint = the edge set is stable, at which point it is
+    a union of stars rooted at component minimums. ``stats['rounds']``
+    (if a dict is passed) records the alternations used.
+    """
+    edges = _canon(
+        pairs.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for rounds in range(1, max_iters + 1):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges)
+            .union(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "alternations (pathological input — raise max_iters)"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    # Stable star edges are (child, root); roots and any node whose
+    # component fully contracted label themselves.
+    parents = edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return nodes.join(parents, "node", "left").select(
+        "node", F.coalesce(F.col("comp"), F.col("node")).alias("comp")
     )

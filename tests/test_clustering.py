@@ -64,3 +64,58 @@ def test_clusters_lsh_equals_brute(spark):
     cl = sorted(tuple(r) for r in dedup_clusters(lsh).collect())
     assert cb == cl
     assert len(cb) > 0
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star contraction (the O(log n)-round scale variant)
+# ---------------------------------------------------------------------------
+from salesforce_postgresql_etl_spark.operators.clustering import (  # noqa: E402
+    connected_components_star,
+)
+
+
+def test_star_chain_and_triangle(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = _comp_map(connected_components_star(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_star_beats_diameter_on_long_chain(spark):
+    # Path 0-1-...-63: min-label needs ~63 rounds (diameter); star
+    # contraction must finish in far fewer — the entire point.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    got = _comp_map(connected_components_star(edges, stats=stats))
+    assert set(got.values()) == {0}
+    assert len(got) == 64
+    assert stats["rounds"] <= 10  # observed 4-6; 63 would be diameter-bound
+
+
+def test_star_equals_labelprop_on_random_graph(spark):
+    import random
+
+    rng = random.Random(5)
+    edges = spark.createDataFrame(
+        [(rng.randrange(80), rng.randrange(80)) for _ in range(60)],
+        "doc_a long, doc_b long",
+    )
+    # Self-loop-only nodes are edge cases the two variants treat
+    # differently (labelprop keeps them, canon drops the loop), so
+    # compare on the loop-free subgraph both accept.
+    edges = edges.where(F.col("doc_a") != F.col("doc_b"))
+    assert _comp_map(connected_components_star(edges)) == _comp_map(
+        connected_components(edges)
+    )
+
+
+def test_star_equals_labelprop_on_lsh_pairs(spark):
+    docs = load(spark, SF_DIR_TINY, "documents")
+    pairs = neardup_pairs(docs, threshold=0.5)
+    assert _comp_map(connected_components_star(pairs)) == _comp_map(
+        connected_components(pairs)
+    )
