@@ -265,3 +265,52 @@ def attribution_join(events: DataFrame, horizon: str = "1 hour",
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+def scd2_stream_sink(
+    table_dir: str,
+    key: str,
+    tracked: list[str],
+    ts_col: str = "snapshot_ts",
+):
+    """foreachBatch function maintaining an SCD2 dimension from a stream
+    of FULL-snapshot micro-batches (the streaming closure of the batch
+    ``operators/scd.py`` merge — the same warehouse sync loop, pushed to
+    continuous arrival).
+
+    Each micro-batch must be one complete snapshot; its effective
+    timestamp is max(``ts_col``) within the batch (one 1-row driver
+    collect, same budget class as the incremental watermark probe).
+    The table lives as parquet at ``table_dir``; the read-merge-
+    overwrite is made safe by materializing the merge result
+    (localCheckpoint) BEFORE the overwrite truncates the input files —
+    on a cluster, swap the parquet dir for a transactional table
+    format and drop the checkpoint. Batch order is the stream's
+    micro-batch order, so pair this with maxFilesPerTrigger=1 (or a
+    source whose batches are single snapshots).
+    """
+    from ..operators.scd import scd2_apply
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ts = batch_df.agg(F.max(ts_col)).collect()[0][0]
+        if ts is None:  # empty micro-batch: no snapshot, no-op
+            return
+        snap = batch_df.drop(ts_col)
+        try:
+            current = spark.read.parquet(table_dir)
+            have = True
+        except Exception:
+            have = False
+        if not have:
+            current = (
+                snap.limit(0)
+                .withColumn("valid_from", F.lit(None).cast("timestamp_ntz"))
+                .withColumn("valid_to", F.lit(None).cast("timestamp_ntz"))
+            )
+        merged = scd2_apply(current, snap, key, tracked, str(ts)).localCheckpoint(
+            eager=True
+        )
+        merged.write.mode("overwrite").parquet(table_dir)
+
+    return apply

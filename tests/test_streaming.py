@@ -292,3 +292,65 @@ def test_stream_stream_join_batch_equals_stream(spark, tmp_path):
     )
     assert _rows(got) == _rows(batch)
     assert len(_rows(batch)) > 0
+
+
+def test_scd2_stream_equals_sequential_batches(spark, tmp_path):
+    """Streaming closure of the SCD2 merge: a file stream of three
+    full snapshots (change, delete, insert cases) drained with
+    maxFilesPerTrigger=1 must build the exact table that applying the
+    same snapshots sequentially through scd2_apply builds."""
+    import time
+
+    from salesforce_postgresql_etl_spark.operators.scd import scd2_apply
+    from salesforce_postgresql_etl_spark.streaming.jobs import scd2_stream_sink
+
+    t0, t1, t2 = (
+        "2024-01-01 00:00:00",
+        "2024-02-01 00:00:00",
+        "2024-03-01 00:00:00",
+    )
+    snaps = [
+        (t0, [(1, "A"), (2, "B"), (3, "C")]),
+        (t1, [(1, "A"), (2, "B2"), (4, "D")]),  # 2 changes, 3 deleted, 4 new
+        (t2, [(1, "A2"), (2, "B2"), (4, "D")]),  # 1 changes, no deletes
+    ]
+    src = tmp_path / "snaps"
+    src.mkdir()
+    for i, (ts, rows) in enumerate(snaps):
+        df = spark.createDataFrame(
+            [(k, s, ts) for k, s in rows], "k long, seg string, snapshot_ts string"
+        ).withColumn("snapshot_ts", F.col("snapshot_ts").cast("timestamp_ntz"))
+        df.coalesce(1).write.parquet(str(src / f"snap_{i}"))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    table_dir = str(tmp_path / "scd2_table")
+    stream = (
+        spark.readStream.schema("k long, seg string, snapshot_ts timestamp_ntz")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            scd2_stream_sink(table_dir, "k", ["seg"], "snapshot_ts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    want = None
+    for ts, rows in snaps:
+        snap = spark.createDataFrame(rows, "k long, seg string")
+        if want is None:
+            want = (
+                snap.limit(0)
+                .withColumn("valid_from", F.lit(None).cast("timestamp_ntz"))
+                .withColumn("valid_to", F.lit(None).cast("timestamp_ntz"))
+            )
+        want = scd2_apply(want, snap, "k", ["seg"], ts)
+    got = spark.read.parquet(table_dir)
+    assert _rows(got) == _rows(want)
+    # Spot-check history: key 2 carries a closed B and an open B2.
+    k2 = {(r.seg, r.valid_to is None) for r in got.where("k = 2").collect()}
+    assert k2 == {("B", False), ("B2", True)}
