@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "q_rollup_cascade",
     "q_salted_agg",
     "q_stream_join",
+    # r5 text-prep ops: the exploded-gram repetition profile (two-stage
+    # agg), overlapping chunk fan-out, and mixture resampling (per-row
+    # exprs + explode — should track scan cost).
+    "q_repetition_filter",
+    "q_chunk_docs",
+    "q_domain_mix",
 ]
 
 
@@ -171,12 +177,27 @@ def _extra_benches():
         ).select("doc_a", "doc_b")
         return dedup_clusters(pairs)
 
+    def neardup_clusters_star(spark, sf_dir):
+        # r5: same pipeline through large-star/small-star contraction —
+        # the variant whose round count is O(log n) instead of graph
+        # diameter (tests prove label-prop ≡ star on the same pairs).
+        from salesforce_postgresql_etl_spark.operators.clustering import (
+            connected_components_star,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        pairs = neardup_pairs(
+            docs, threshold=NEARDUP_THRESHOLD, strategy="minhash", persist=True
+        ).select("doc_a", "doc_b")
+        return connected_components_star(pairs)
+
     return {
         "q_neardup_minhash": neardup_minhash,
         "q_neardup_ngram_lsh": neardup_ngram_lsh,
         "q_simsearch_ivf": simsearch_ivf,
         "q_neardup_embed_lsh": neardup_embed_lsh,
         "q_neardup_clusters_lsh": neardup_clusters_lsh,
+        "q_neardup_clusters_star": neardup_clusters_star,
     }
 
 
