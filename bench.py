@@ -177,6 +177,35 @@ def _extra_benches():
         ).select("doc_a", "doc_b")
         return dedup_clusters(pairs)
 
+    def simsearch_pq(spark, sf_dir):
+        # r5: product-quantized two-stage search. Codebooks + codes are
+        # the offline index (built once per bench process, like the IVF
+        # centroids); the timed path is ADC scoring over the code
+        # column + exact re-rank of the per-query shortlist — the shape
+        # where the corpus is only ever scanned as m bytes/vector.
+        import tempfile
+
+        from salesforce_postgresql_etl_spark.operators.pq import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        stem = os.path.join(tempfile.gettempdir(), f"bench-pq-{os.getpid()}")
+        if not os.path.exists(f"{stem}-codebooks.parquet"):
+            cb = pq_train(emb, m=8, k=16, iters=2)
+            cb.write.mode("overwrite").parquet(f"{stem}-codebooks.parquet")
+            pq_encode(emb, cb).write.mode("overwrite").parquet(
+                f"{stem}-codes.parquet"
+            )
+        cb = spark.read.parquet(f"{stem}-codebooks.parquet")
+        codes = spark.read.parquet(f"{stem}-codes.parquet")
+        queries = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+        )
+        return pq_topk(codes, cb, queries, k=3, rerank_with=emb, shortlist=100)
+
     def neardup_clusters_star(spark, sf_dir):
         # r5: same pipeline through large-star/small-star contraction —
         # the variant whose round count is O(log n) instead of graph
@@ -198,6 +227,7 @@ def _extra_benches():
         "q_neardup_embed_lsh": neardup_embed_lsh,
         "q_neardup_clusters_lsh": neardup_clusters_lsh,
         "q_neardup_clusters_star": neardup_clusters_star,
+        "q_simsearch_pq": simsearch_pq,
     }
 
 
