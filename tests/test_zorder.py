@@ -1,0 +1,115 @@
+"""Z-order layout: footer-stats skipping vs a single-column layout.
+
+The assertion mimics what Spark's parquet scan actually does with a
+pushed-down range predicate: a file is read iff its footer [min, max]
+for the filtered column intersects the predicate range. We read the
+footers with pyarrow and count intersecting files directly — a
+deterministic measurement of the skipping the layout buys."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from salesforce_postgresql_etl_spark.sources import load
+from salesforce_postgresql_etl_spark.sources.zorder import write_zordered
+
+from .conftest import SF_DIR
+
+
+def _files_touched(path: str, preds: dict[str, tuple[float, float]]) -> tuple[int, int]:
+    """(files whose stats intersect all predicate ranges, total files)."""
+    files = sorted(glob.glob(os.path.join(path, "part-*.parquet")))
+    touched = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        fmin: dict[str, float] = {}
+        fmax: dict[str, float] = {}
+        for rg in range(md.num_row_groups):
+            for i, name in enumerate(schema_names):
+                st = md.row_group(rg).column(i).statistics
+                if name in preds and st is not None:
+                    fmin[name] = min(fmin.get(name, float("inf")), float(st.min))
+                    fmax[name] = max(fmax.get(name, float("-inf")), float(st.max))
+        if all(
+            fmin[c] <= hi and fmax[c] >= lo for c, (lo, hi) in preds.items()
+        ):
+            touched += 1
+    return touched, len(files)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("zorder")
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    zpath, lpath = str(base / "zord"), str(base / "linear")
+    write_zordered(ev, ["user_id", "value"], zpath, n_files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    # A "quartile box" is the bottom 25% of each column BY MASS (its
+    # .25 quantile), matching the curve's rank-space cells — a range
+    # quartile on the long-tailed value column would cover ~99% of
+    # rows and prune nothing under any layout.
+    lows = ev.agg(F.min("user_id"), F.min("value")).collect()[0]
+    q25_u, q25_v = (
+        ev.approxQuantile("user_id", [0.25], 0.001)[0],
+        ev.approxQuantile("value", [0.25], 0.001)[0],
+    )
+    boxes = {
+        "user_id": (float(lows[0]), q25_u),
+        "value": (float(lows[1]), q25_v),
+    }
+    return zpath, lpath, boxes
+
+
+def test_single_dim_filter_prunes_zorder_but_not_offaxis_linear(layouts):
+    zpath, lpath, boxes = layouts
+    v_box = {"value": boxes["value"]}
+    z_t, z_n = _files_touched(zpath, v_box)
+    l_t, l_n = _files_touched(lpath, v_box)
+    assert z_n == l_n == 16
+    # Linear-by-user layout cannot skip a value-only filter: every
+    # file spans the full value range.
+    assert l_t == 16
+    # Z-order: value mass-quartile ≈ one stripe of the 4x4 grid.
+    assert z_t <= 8
+
+
+def test_zorder_prunes_both_dimensions(layouts):
+    zpath, _, boxes = layouts
+    for c in ("user_id", "value"):
+        t, n = _files_touched(zpath, {c: boxes[c]})
+        assert n == 16 and t <= 8
+
+
+def test_linear_wins_only_on_its_own_axis(layouts):
+    _, lpath, boxes = layouts
+    t, n = _files_touched(lpath, {"user_id": boxes["user_id"]})
+    assert t <= 6  # its specialty — and its only one
+
+
+def test_zordered_data_is_lossless(spark, layouts):
+    zpath, _, _ = layouts
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    assert back.agg(F.sum("event_id")).collect()[0][0] == ev.agg(
+        F.sum("event_id")
+    ).collect()[0][0]
+
+
+def test_bad_args_raise(spark):
+    ev = load(spark, SF_DIR, "events").select("user_id", "value")
+    with pytest.raises(ValueError, match="at least one"):
+        write_zordered(ev, [], "/tmp/unused")
+    with pytest.raises(ValueError, match="63-bit"):
+        write_zordered(ev, ["user_id", "value"], "/tmp/unused", bits=32)
