@@ -302,3 +302,43 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(current, incoming, "c_custkey", ["c_mktsegment"], _SCD_T1)
+
+
+# ---------------------------------------------------------------------------
+# Rule-based validation gate (sources/quarantine.py): the row-level
+# business-rule half of the dead-letter flow, driver-graded. The
+# oracle rebuilds each reason with the same conservative three-valued
+# logic (NULL predicate = failure) and the same dict-order reason
+# concatenation — concat_ws skips NULLs identically in both engines.
+# ---------------------------------------------------------------------------
+from ..sources.quarantine import validate_with_quarantine  # noqa: E402
+
+VALIDATE_PRICE_CAP = 450_000.0
+
+
+@register(
+    "q_validate_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN NOT COALESCE(o_totalprice <= {VALIDATE_PRICE_CAP}, FALSE)
+              THEN 'price_over_cap' END AS r1,
+         CASE WHEN NOT COALESCE(o_orderstatus IN ('F', 'O'), FALSE)
+              THEN 'status_pending' END AS r2
+  FROM orders)
+SELECT o_orderkey, concat_ws(',', r1, r2) AS reason
+FROM t WHERE r1 IS NOT NULL OR r2 IS NOT NULL
+""",
+)
+def q_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantined orders with their violated rules (~35% of rows:
+    price cap at the ~90th percentile + pending status)."""
+    o = load(spark, sf_dir, "orders")
+    split = validate_with_quarantine(
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus"),
+        {
+            "price_over_cap": F.col("o_totalprice") <= VALIDATE_PRICE_CAP,
+            "status_pending": F.col("o_orderstatus").isin("F", "O"),
+        },
+    )
+    return split.quarantine.select("o_orderkey", "reason")
