@@ -342,3 +342,28 @@ def q_validate_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return split.quarantine.select("o_orderkey", "reason")
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted JOIN, driver-graded like q_salted_agg: the oracle is the
+# PLAIN equi join, so a hash match is exactly the claim that the
+# n_salts-way small-side replication + (key, salt) shuffle keys change
+# the schedule and nothing else. events.user_id ⨝ customer is the
+# hot-key shape: one reducer per user at 100 TB would cap on the most
+# active users; the salt fans each over 8 tasks.
+# ---------------------------------------------------------------------------
+from ..operators.skew import salted_join  # noqa: E402
+
+
+@register(
+    "q_salted_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = salted_join(e, c, "user_id", "c_custkey", n_salts=8)
+    return j.select("event_id", "user_id", "c_name", "value")
