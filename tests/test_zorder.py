@@ -81,14 +81,19 @@ def test_single_dim_filter_prunes_zorder_but_not_offaxis_linear(layouts):
     # file spans the full value range.
     assert l_t == 16
     # Z-order: value mass-quartile ≈ one stripe of the 4x4 grid.
-    assert z_t <= 8
+    # Threshold is 10, not the observed 7-8: repartitionByRange's
+    # boundary SAMPLE is seeded from the RDD id, which varies with
+    # session history, so file edges jitter by ±1-2 files run to run
+    # (seen once in a full-suite run). 10/16 vs 16/16 is still the
+    # structural claim.
+    assert z_t <= 10
 
 
 def test_zorder_prunes_both_dimensions(layouts):
     zpath, _, boxes = layouts
     for c in ("user_id", "value"):
         t, n = _files_touched(zpath, {c: boxes[c]})
-        assert n == 16 and t <= 8
+        assert n == 16 and t <= 10  # jitter margin — see note above
 
 
 def test_linear_wins_only_on_its_own_axis(layouts):
