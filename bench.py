@@ -194,7 +194,10 @@ def _extra_benches():
         emb = load(spark, sf_dir, "embeddings")
         stem = os.path.join(tempfile.gettempdir(), f"bench-pq-{os.getpid()}")
         if not os.path.exists(f"{stem}-codebooks.parquet"):
-            cb = pq_train(emb, m=8, k=16, iters=2)
+            # md5 init: the timed metric is ADC probe cost, which is
+            # independent of codebook quality — don't spend the
+            # farthest-first driver jobs inside the sweep budget.
+            cb = pq_train(emb, m=8, k=16, iters=2, init="md5")
             cb.write.mode("overwrite").parquet(f"{stem}-codebooks.parquet")
             pq_encode(emb, cb).write.mode("overwrite").parquet(
                 f"{stem}-codes.parquet"

@@ -45,29 +45,44 @@ def _l2_sq(a: Column, b: Column) -> Column:
     )
 
 
-def _kmeans_l2(base: DataFrame, k: int, iters: int) -> list[list[float]]:
+def _kmeans_l2(
+    base: DataFrame, k: int, iters: int, init: str = "farthest"
+) -> list[list[float]]:
     """Deterministic L2 Lloyd's over ``base`` (sid string, v array<double>).
 
     Same init/update doctrine as simsearch.kmeans_centroids, with L2 as
     the metric (farthest-first = max-min distance). Returns the k
     centroids code-ordered; driver holds only the k×d_sub matrix.
+
+    ``init``: "farthest" (Gonzalez max-min — k-1 one-row driver jobs,
+    the quality default) or "md5" (the k lowest-md5(id) vectors in one
+    job — for timing builds and smoke paths where codebook quality
+    doesn't change what is being measured).
     """
     spark = base.sparkSession
-    first = base.withColumn("h", F.md5("sid")).orderBy("h", "sid").limit(1).collect()[0]
-    chosen = [[float(x) for x in first.v]]
-    for _ in range(k - 1):
-        cdf = spark.createDataFrame(
-            [(c,) for c in chosen], "centroid array<double>"
+    if init == "md5":
+        rows = base.withColumn("h", F.md5("sid")).orderBy("h", "sid").limit(k).collect()
+        chosen = [[float(x) for x in r.v] for r in rows]
+    elif init == "farthest":
+        first = (
+            base.withColumn("h", F.md5("sid")).orderBy("h", "sid").limit(1).collect()[0]
         )
-        far = (
-            base.crossJoin(F.broadcast(cdf))
-            .groupBy("sid", "v")
-            .agg(F.min(_l2_sq(F.col("v"), F.col("centroid"))).alias("best"))
-            .orderBy(F.col("best").desc(), F.col("sid").asc())
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append([float(x) for x in far.v])
+        chosen = [[float(x) for x in first.v]]
+        for _ in range(k - 1):
+            cdf = spark.createDataFrame(
+                [(c,) for c in chosen], "centroid array<double>"
+            )
+            far = (
+                base.crossJoin(F.broadcast(cdf))
+                .groupBy("sid", "v")
+                .agg(F.min(_l2_sq(F.col("v"), F.col("centroid"))).alias("best"))
+                .orderBy(F.col("best").desc(), F.col("sid").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            chosen.append([float(x) for x in far.v])
+    else:
+        raise ValueError(f"unknown init {init!r}")
     cents = list(enumerate(chosen))
     dim = len(chosen[0])
     for _ in range(iters):
@@ -100,10 +115,12 @@ def pq_train(
     iters: int = 4,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    init: str = "farthest",
 ) -> DataFrame:
     """Train per-subspace codebooks → (sub int, code int, centroid
     array<double>), centroid dim = dim/m. Offline-training cost class:
-    m independent k-means over subvector slices."""
+    m independent k-means over subvector slices. ``init`` passes
+    through to the subquantizer k-means (see _kmeans_l2)."""
     dim = len(emb.select(vec).limit(1).collect()[0][0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -115,7 +132,7 @@ def pq_train(
             F.col(id_col).cast("string").alias("sid"),
             _slice_sub(F.col(vec).cast("array<double>"), sub, d_sub).alias("v"),
         )
-        for code, cent in enumerate(_kmeans_l2(base, k, iters)):
+        for code, cent in enumerate(_kmeans_l2(base, k, iters, init=init)):
             rows.append((sub, code, cent))
     return spark.createDataFrame(rows, "sub int, code int, centroid array<double>")
 

@@ -116,3 +116,20 @@ def test_adc_only_beats_chance(emb, codebooks, codes):
 def test_dim_not_divisible_raises(emb):
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, m=7, k=4, iters=1)
+
+
+def test_md5_init_same_contracts(spark, emb):
+    # The fast init used by timing builds obeys the same shape and
+    # determinism contracts as farthest-first.
+    cb = pq_train(emb, m=4, k=8, iters=1, init="md5")
+    assert cb.count() == 32
+    codes1 = pq_encode(emb, cb)
+    codes2 = pq_encode(emb.repartition(7), cb)
+    assert sorted(map(repr, codes1.collect())) == sorted(
+        map(repr, codes2.collect())
+    )
+
+
+def test_unknown_init_raises(spark, emb):
+    with pytest.raises(ValueError, match="unknown init"):
+        pq_train(emb, m=4, k=8, iters=1, init="random")
