@@ -55,11 +55,15 @@ _MODULES = (
     "sources_q",
     "extras_q",  # r5 additions — LAST so the graded window is unchanged
     "textprep_q",  # r5 additions (repetition/chunking/mixture) — tail
+    "cdc_q",  # r5d additions (snapshot-diff CDC) — tail
+    "analytics_q",  # r5d additions (funnel/cohort/TWA) — tail
+    "ir_q",  # r5d additions (inverted index, BM25) — tail
 )
 # r6 rotation note: after a green r5 run the never-driver-graded set is
 # the tail — extras_q (q_join_bucketed..q_salted_join, 9) + textprep_q
-# (3); front those plus the freshly-stalest families (windows/scalars/
-# stream_equiv/udfs/sources_q, green r4) and anchor with r5-green rows.
+# (3) + cdc_q (1) + analytics_q (3) + ir_q (2); front those plus the
+# freshly-stalest families (windows/scalars/stream_equiv/udfs/sources_q,
+# green r4) and anchor with r5-green rows.
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):

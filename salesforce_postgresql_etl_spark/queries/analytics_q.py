@@ -1,0 +1,143 @@
+"""Product-analytics queries: funnel, cohort retention, time-weighted
+average. Round-5d additions, tail-registered (after the r5 graded
+window) per the rotation ledger in COVERAGE.md.
+
+These are the workhorse event-analytics shapes a user of a
+Salesforce-sync warehouse actually runs on the synced tables
+(SURVEY.md §3.1 entry point 3 generalized from row-count
+reconciliation to real analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.funnel import funnel_stages
+from ..sources import load
+from . import register
+
+# ---------------------------------------------------------------------------
+# Funnel: signup -> click -> purchase, earliest-completion semantics.
+# Oracle mirrors the stage-anchored MIN chain with sequential CTEs.
+# ---------------------------------------------------------------------------
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+@register(
+    "q_funnel",
+    oracle="""
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_stage,
+       COALESCE(t3, t2, t1) AS stage_ts
+FROM u LEFT JOIN s1 USING (user_id)
+       LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return funnel_stages(e, FUNNEL_STAGES)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-seen day; for each (cohort
+# day, day offset) the count of cohort members active that day. One
+# extra shuffle beyond the activity dedup (cohort join is on user_id,
+# same key as the first aggregation -> partitioning reuse; the final
+# (cohort, offset) agg is over a frame already reduced to
+# user-day granularity, ~1000x smaller than raw events at any scale).
+# ---------------------------------------------------------------------------
+@register(
+    "q_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS cohort_day
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS act_day
+  FROM events)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.act_day) AS INT) AS day_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("act_day")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy("cohort_day", F.datediff("act_day", "cohort_day").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average of `value` per user over irregular event times:
+# each reading holds until the next one; TWA = sum(value * dt) / sum(dt).
+# Determinism doctrine (functions/determinism.py): value is quantized to
+# DECIMAL(18,2) and dt is integer seconds, so sum(value*dt) is an exact
+# decimal; x100 -> bigint is exact; the final bigint/bigint division is
+# ONE correctly-rounded IEEE op in both engines -> bit-identical double.
+# Scale shape: one window (partitioned by user) + one agg on the same
+# key; no single-partition frames.
+# ---------------------------------------------------------------------------
+@register(
+    "q_twa",
+    oracle="""
+WITH iv AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         CAST(date_diff('second', ts,
+              LEAD(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id)) AS BIGINT) AS dt
+  FROM events)
+SELECT user_id,
+       CAST(SUM(v * dt) * 100 AS BIGINT)
+         / (CAST(SUM(dt) AS BIGINT) * 100) AS twa,
+       CAST(SUM(dt) AS BIGINT) AS total_s
+FROM iv WHERE dt IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        # ntz won't cast straight to bigint in Spark 4; hop through
+        # timestamp (session tz pinned UTC -> same epoch second, and the
+        # cast floors sub-seconds exactly like DuckDB's date_diff
+        # boundary count).
+        (
+            F.lead(F.col("ts").cast("timestamp").cast("long")).over(w)
+            - F.col("ts").cast("timestamp").cast("long")
+        ).alias("dt"),
+    ).where(F.col("dt").isNotNull())
+    return iv.groupBy("user_id").agg(
+        (
+            (F.sum(F.col("v") * F.col("dt")) * F.lit(100)).cast("bigint")
+            / (F.sum("dt") * F.lit(100))
+        ).alias("twa"),
+        F.sum("dt").alias("total_s"),
+    )

@@ -1,0 +1,142 @@
+"""Information-retrieval queries over the documents corpus: inverted
+index construction and BM25 ranking. Round-5d additions, tail-registered.
+
+These extend the L-family (tokenization, TF-IDF — queries/llm.py) to
+the two remaining IR primitives a corpus pipeline needs: a term ->
+postings index (the build side of keyword search / exact-match
+decontamination at corpus scale) and the BM25 scoring function that
+modern retrieval baselines still use.
+
+100 TB shape: both are explode + hash-aggregate pipelines — the same
+physics as q_tfidf. The inverted index's hot keys (stopwords appear in
+every doc) are exactly the skew case operators/skew.py handles; the
+posting-list collect is bounded per token by corpus document count, and
+a production variant would shard postings by (term, doc_id bucket) —
+documented here, not needed at fixture scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+from . import register
+
+# ---------------------------------------------------------------------------
+# Inverted index: term -> document frequency + sorted posting list.
+# The posting list is emitted as a comma-joined string (driver
+# canonicalizer requires scalar cells); both engines sort numerically
+# before stringifying, so the cell is deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_inverted_index",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+SELECT term,
+       COUNT(DISTINCT doc_id) AS df,
+       array_to_string(list_sort(list_distinct(list(doc_id))), ',') AS postings
+FROM tok
+GROUP BY term
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 (k1 = 1.2, b = 0.75) for a fixed 3-term query. FP doctrine: ln()
+# is inherently transcendental (SURVEY §4.3.4 "round on BOTH sides"), so
+# the score rounds to 6 dp on both engines, and the per-term partial
+# scores are added in a FIXED textual order (spark + table + hash as a
+# 3-column conditional pivot) — never a float SUM whose reduction order
+# floats with partitioning.
+# ---------------------------------------------------------------------------
+BM25_TERMS = ("spark", "table", "hash")
+_K1 = 1.2
+_B = 0.75
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                 COUNT(*) AS n FROM dl),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+       WHERE w IN ('spark', 'table', 'hash') GROUP BY doc_id, w),
+dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS dfc FROM tok
+        WHERE w IN ('spark', 'table', 'hash') GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, tf.w,
+         ln(1.0 + ((stats.n - dfq.dfc) + 0.5) / (dfq.dfc + 0.5))
+         * (tf.tf * {_K1 + 1.0})
+         / (tf.tf + {_K1} * ((1.0 - {_B}) + ({_B} * dl.dl) / stats.avgdl)) AS s
+  FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats)
+SELECT doc_id,
+       ROUND(COALESCE(MAX(CASE WHEN w = 'spark' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN w = 'table' THEN s END), 0.0)
+             + COALESCE(MAX(CASE WHEN w = 'hash' THEN s END), 0.0), 6) AS bm25
+FROM scored
+GROUP BY doc_id
+""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qtok = tok.where(F.col("w").isin(*BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = qtok.groupBy("w").agg(F.countDistinct("doc_id").alias("dfc"))
+    scored = (
+        tf.join(F.broadcast(dfq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + ((F.col("n") - F.col("dfc")) + F.lit(0.5))
+                    / (F.col("dfc") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(_K1)
+                    * (
+                        F.lit(1.0 - _B)
+                        + (F.lit(_B) * F.col("dl")) / F.col("avgdl")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("w") == t, F.col("s"))), F.lit(0.0)
+        )
+        for t in BM25_TERMS
+    ]
+    total = per_term[0] + per_term[1] + per_term[2]
+    return scored.groupBy("doc_id").agg(F.round(total, 6).alias("bm25"))

@@ -1,0 +1,91 @@
+"""Operator tests for snapshot-diff CDC (operators/cdc.py). The
+registered query's driver-strict differential is in
+test_differential.py; these pin the change-typing contract, the
+fingerprint-vs-exact equivalence, and the edge cases fixtures can't
+express (NULL transitions, schema drift, map columns)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesforce_postgresql_etl_spark.operators.cdc import snapshot_diff
+
+
+def _frame(spark, rows, schema="id long, a string, b double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _diff_map(df):
+    return {r["id"]: r["change_type"] for r in df.collect()}
+
+
+class TestSnapshotDiff:
+    def test_all_change_types(self, spark):
+        old = _frame(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)])
+        new = _frame(spark, [(2, "y", 2.0), (3, "Z", 3.0), (4, "w", 4.0)])
+        got = _diff_map(snapshot_diff(old, new, ["id"]))
+        assert got == {1: "delete", 3: "update", 4: "insert"}
+
+    def test_unchanged_suppressed_by_default(self, spark):
+        old = _frame(spark, [(1, "x", 1.0)])
+        new = _frame(spark, [(1, "x", 1.0)])
+        assert snapshot_diff(old, new, ["id"]).count() == 0
+        rows = snapshot_diff(
+            old, new, ["id"], include_unchanged=True
+        ).collect()
+        assert [(r["id"], r["change_type"]) for r in rows] == [(1, "unchanged")]
+
+    def test_null_transitions_are_updates(self, spark):
+        # NULL -> value and value -> NULL must both read as updates;
+        # xxhash64 folds NULL deterministically, and the exact path uses
+        # null-safe inequality.
+        old = _frame(spark, [(1, None, 1.0), (2, "y", 2.0)])
+        new = _frame(spark, [(1, "x", 1.0), (2, None, 2.0)])
+        for exact in (False, True):
+            got = _diff_map(snapshot_diff(old, new, ["id"], exact=exact))
+            assert got == {1: "update", 2: "update"}, f"exact={exact}"
+
+    def test_fingerprint_equals_exact(self, spark):
+        old = _frame(
+            spark, [(i, f"v{i}", float(i)) for i in range(50)]
+        )
+        new = _frame(
+            spark,
+            [(i, f"v{i}" if i % 3 else "CHANGED", float(i)) for i in range(5, 55)],
+        )
+        fp = _diff_map(snapshot_diff(old, new, ["id"]))
+        exact = _diff_map(snapshot_diff(old, new, ["id"], exact=True))
+        assert fp == exact
+
+    def test_schema_drift_ignores_private_columns(self, spark):
+        # A column present on only one side must not poison the diff.
+        old = _frame(spark, [(1, "x", 1.0)]).withColumn("old_only", F.lit(9))
+        new = _frame(spark, [(1, "x", 1.0)]).withColumn("new_only", F.lit(7))
+        assert snapshot_diff(old, new, ["id"]).count() == 0
+
+    def test_compare_cols_subset(self, spark):
+        # Restricting compare_cols makes out-of-scope changes invisible.
+        old = _frame(spark, [(1, "x", 1.0)])
+        new = _frame(spark, [(1, "x", 99.0)])
+        assert snapshot_diff(old, new, ["id"], ["a"]).count() == 0
+        assert _diff_map(snapshot_diff(old, new, ["id"], ["b"])) == {1: "update"}
+
+    def test_empty_key_cols_rejected(self, spark):
+        df = _frame(spark, [(1, "x", 1.0)])
+        with pytest.raises(ValueError, match="key_cols"):
+            snapshot_diff(df, df, [])
+
+    def test_composite_key(self, spark):
+        schema = "k1 long, k2 string, v double"
+        old = spark.createDataFrame([(1, "a", 1.0), (1, "b", 2.0)], schema)
+        new = spark.createDataFrame([(1, "a", 5.0), (2, "a", 3.0)], schema)
+        rows = {
+            (r["k1"], r["k2"]): r["change_type"]
+            for r in snapshot_diff(old, new, ["k1", "k2"]).collect()
+        }
+        assert rows == {
+            (1, "a"): "update",
+            (1, "b"): "delete",
+            (2, "a"): "insert",
+        }

@@ -42,6 +42,7 @@ _SP_ALLOWED = {
     "q_json_roundtrip": (1, "single-file test write"),
     "q_parquet_roundtrip": (1, "single-file test write"),
     "q_dq_report": (4, "four global 1-row aggregates assembled into the report row"),
+    "q_bm25": (1, "avgdl/N corpus scalar (1 row) broadcast back"),
 }
 
 # queries allowed a BroadcastNestedLoopJoin: non-equi band joins with a
@@ -54,6 +55,7 @@ _BNL_ALLOWED = {
     "q_simsearch_topk",  # brute top-k baseline; scale path = IVF probe
     "q_tfidf",  # 1-row corpus-N joined to every doc
     "q_dq_report",  # 1-row × 1-row report assembly crosses
+    "q_bm25",  # 1-row avgdl/N stats joined to every scored doc
 }
 
 _ROW_UDF_ALLOWED = {"q_udf_scalar"}  # X1: the slow path, demonstrated once
