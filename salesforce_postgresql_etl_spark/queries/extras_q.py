@@ -367,3 +367,50 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     j = salted_join(e, c, "user_id", "c_custkey", n_salts=8)
     return j.select("event_id", "user_id", "c_name", "value")
+
+
+# ---------------------------------------------------------------------------
+# KLL mergeable-quantile contract (r5d). KLL is randomized (see
+# operators/sketch.py), so — exactly like q_agg_approx_cd's HLL row —
+# the registered surface is the accuracy CONTRACT, not the estimate:
+# the day-cascaded p50/p90 estimate's EXACT rank within its group must
+# sit within ±5% of the target rank (k=800's 99%-confidence bound is
+# ~0.4%; 5% is ~12x slack, so the boolean is stable run to run).
+# ---------------------------------------------------------------------------
+from ..operators.sketch import quantile_cascade  # noqa: E402
+
+
+@register(
+    "q_quantile_sketch",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       TRUE AS p50_ok, TRUE AS p90_ok
+FROM events GROUP BY 1, 2
+""",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    est = quantile_cascade(e, dim="event_type", qs=(0.5, 0.9))
+    raw = e.select(
+        F.date_trunc("day", "ts").alias("day"), "event_type", "value"
+    )
+    ranked = (
+        raw.join(est, ["day", "event_type"])
+        .groupBy("day", "event_type")
+        .agg(
+            (
+                F.sum(F.when(F.col("value") <= F.col("q50_est"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("r50"),
+            (
+                F.sum(F.when(F.col("value") <= F.col("q90_est"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("r90"),
+        )
+    )
+    return ranked.select(
+        "day",
+        "event_type",
+        (F.abs(F.col("r50") - 0.5) <= 0.05).alias("p50_ok"),
+        (F.abs(F.col("r90") - 0.9) <= 0.05).alias("p90_ok"),
+    )
