@@ -92,6 +92,16 @@ BENCH_QUERIES = [
     "q_repetition_filter",
     "q_chunk_docs",
     "q_domain_mix",
+    # r5d additions: fingerprint snapshot-diff CDC (full-outer on keys
+    # + 8-byte digests), the min-anchored funnel chain, as-of-merge
+    # attribution, the explode+agg BM25 scorer, and the KLL mergeable-
+    # quantile cascade (at sf0.1 each (day,type) group exceeds k=800,
+    # so compaction — the real sketch path — is exercised).
+    "q_snapshot_diff",
+    "q_funnel",
+    "q_attribution",
+    "q_bm25",
+    "q_quantile_sketch",
 ]
 
 

@@ -141,3 +141,116 @@ def q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa"),
         F.sum("dt").alias("total_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution (r5d): for each purchase, the most recent
+# preceding touch event (click/view/signup) by the same user — the
+# classic marketing-attribution shape, and a composition showcase for
+# the as-of bucket-merge operator (operators/asof.py: one shuffle,
+# running last(... ignore nulls), zero pair materialization). The
+# oracle is the band-join + row_number form with the same tiebreak
+# (greatest touch event_id among equal ts).
+# ---------------------------------------------------------------------------
+from ..operators.asof import asof_backward_join  # noqa: E402
+
+_TOUCH_TYPES = ("click", "view", "signup")
+
+
+@register(
+    "q_attribution",
+    oracle="""
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT event_id AS touch_id, user_id, ts AS touch_ts,
+             event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view', 'signup')),
+j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts,
+             t.touch_id, t.touch_ts, t.touch_type,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY t.touch_ts DESC, t.touch_id DESC)
+               AS rn
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id AND t.touch_ts <= p.purchase_ts)
+SELECT purchase_id, user_id, purchase_ts, touch_id, touch_ts, touch_type
+FROM j WHERE rn = 1
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    touches = e.where(F.col("event_type").isin(*_TOUCH_TYPES)).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    return asof_backward_join(
+        purchases,
+        touches,
+        ["user_id"],
+        "purchase_ts",
+        "touch_ts",
+        tiebreak="touch_id",
+    ).select(
+        "purchase_id", "user_id", "purchase_ts",
+        "touch_id", "touch_ts", "touch_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection via MAD (r5d): median / median-absolute-
+# deviation are the robust location/scale pair (unlike mean/stddev they
+# ignore the outliers being hunted). Two median passes (grouped median
+# is exact two-phase in both engines — q_agg_median proved the
+# interpolation parity), deviations are exact double subtractions, and
+# the 4.4478 = 3 * 1.4826 (normal-consistency) threshold is a literal
+# on both sides so the comparison is bit-deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "q_mad_outliers",
+    oracle="""
+WITH med AS (SELECT event_type, median(value) AS med FROM events
+             GROUP BY event_type),
+dev AS (SELECT e.event_type, med.med, abs(e.value - med.med) AS dev
+        FROM events e JOIN med USING (event_type)),
+mad AS (SELECT event_type, med, median(dev) AS mad FROM dev
+        GROUP BY event_type, med)
+SELECT d.event_type, m.med, m.mad,
+       CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       COUNT(*) AS n
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, m.med, m.mad
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type", "med").agg(F.median("dev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med_"),
+            F.first("mad").alias("mad_"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(4.4478) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("med_").alias("med"),
+            F.col("mad_").alias("mad"),
+            "n_outliers",
+            "n",
+        )
+    )

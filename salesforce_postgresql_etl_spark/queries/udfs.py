@@ -144,3 +144,68 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
     )
+
+
+# ---------------------------------------------------------------------------
+# X5b — a REAL Python UDTF (Spark 4 `@udtf`), not just explode-as-UDTF:
+# run-length encoding of consecutive repeated tokens. The logic is
+# genuinely sequential (each output row depends on the previous token),
+# which is exactly the case where a table function beats a relational
+# rewrite for clarity; the oracle proves the relational rewrite
+# (gaps-and-islands over lag) agrees. Arrow-batched (`useArrow=True`)
+# per the X-family doctrine: Python is the slow path, Arrow is how you
+# cross it.
+# ---------------------------------------------------------------------------
+from pyspark.sql.functions import udtf  # noqa: E402
+
+
+@udtf(returnType="run_idx int, token string, run_len int", useArrow=True)
+class _RleUdtf:
+    def eval(self, text):  # noqa: ANN001 — UDTF protocol
+        if text is None:
+            return
+        run_idx, prev, count = 0, None, 0
+        for w in text.split(" "):
+            if w == prev:
+                count += 1
+            else:
+                if prev is not None:
+                    yield (run_idx, prev, count)
+                run_idx, prev, count = run_idx + 1, w, 1
+        if prev is not None:
+            yield (run_idx, prev, count)
+
+
+@register(
+    "q_udtf_rle",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents),
+flagged AS (
+  SELECT doc_id, w, pos,
+         CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                   IS DISTINCT FROM w THEN 1 ELSE 0 END AS new_run
+  FROM tok),
+runs AS (
+  SELECT doc_id, w,
+         SUM(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run_idx
+  FROM flagged)
+SELECT doc_id, CAST(run_idx AS INT) AS run_idx, w AS token,
+       COUNT(*) AS run_len
+FROM runs
+GROUP BY doc_id, run_idx, w
+""",
+)
+def q_udtf_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("rle_udtf", _RleUdtf)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.run_idx, t.token, CAST(t.run_len AS BIGINT) AS run_len
+        FROM parquet.`{sf_dir}/documents.parquet` d,
+             LATERAL rle_udtf(d.text) t
+        """
+    )
