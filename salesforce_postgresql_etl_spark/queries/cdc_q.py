@@ -66,3 +66,79 @@ WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _snapshots(spark, sf_dir)
     return snapshot_diff(old, new, ["o_orderkey"], list(_COLS))
+
+
+# ---------------------------------------------------------------------------
+# Salesforce 15->18 Id checksum (r5d): the reference domain's signature
+# scalar (SURVEY §2.8 F1 "15->18-char Id handling"), registered so the
+# driver hash-checks the ALGORITHM — the Spark side and the oracle each
+# build the suffix from their own substring/ascii/CASE trees
+# (functions/sfid.py emits both). Fixtures carry no real Ids, so a
+# deterministic mixed-case pseudo-Id is derived from c_name the same
+# way in both engines (translate digits -> uppercase letters).
+# ---------------------------------------------------------------------------
+from ..functions.sfid import sf_id_15_to_18, sql_sf_id_15_to_18  # noqa: E402
+
+_ID15_SQL = "substring(translate(c_name, '0123456789#', 'ABCDEFGHIJx'), 1, 15)"
+
+
+@register(
+    "q_sfid18",
+    oracle=f"""
+WITH ids AS (SELECT c_custkey, {_ID15_SQL} AS id15 FROM customer)
+SELECT c_custkey, id15, {sql_sf_id_15_to_18("id15")} AS id18
+FROM ids
+""",
+)
+def q_sfid18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    ids = c.select(
+        "c_custkey",
+        F.substring(
+            F.translate("c_name", "0123456789#", "ABCDEFGHIJx"), 1, 15
+        ).alias("id15"),
+    )
+    return ids.select("c_custkey", "id15", sf_id_15_to_18("id15").alias("id18"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (r5d): per-type stats kept as
+# mergeable state — history batch (ts <= W) + delta batch (ts > W)
+# merged WITHOUT rescanning, finalized, and hash-checked against the
+# oracle's from-scratch aggregate over all events. A hash match is the
+# decomposability proof: merge(state(A), state(B)) == state(A ∪ B).
+# ---------------------------------------------------------------------------
+from ..functions.determinism import sql_dec_sum_to_double  # noqa: E402
+from ..operators.incremental_agg import (  # noqa: E402
+    agg_state,
+    finalize_agg_state,
+    merge_agg_state,
+)
+
+_INCR_W = "2024-01-15 00:00:00"
+
+
+@register(
+    "q_incremental_agg",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {sql_dec_sum_to_double("CAST(value AS DECIMAL(18,2))", 2)} AS sum_val,
+       MIN(value) AS min_val,
+       MAX(value) AS max_val,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         / (COUNT(*) * 100) AS avg_val
+FROM events
+GROUP BY event_type
+""",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hist = e.where(F.col("ts") <= F.lit(_INCR_W))
+    delta = e.where(F.col("ts") > F.lit(_INCR_W))
+    state = merge_agg_state(
+        agg_state(hist, ["event_type"], "value"),
+        agg_state(delta, ["event_type"], "value"),
+        ["event_type"],
+    )
+    return finalize_agg_state(state, ["event_type"])

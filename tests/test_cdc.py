@@ -89,3 +89,58 @@ class TestSnapshotDiff:
             (1, "b"): "delete",
             (2, "a"): "insert",
         }
+
+
+class TestSfId18:
+    """Independent check of functions/sfid.py: a pure-Python
+    reimplementation of the public checksum algorithm must agree with
+    the JVM expression tree (the DuckDB oracle is the third engine,
+    via test_differential q_sfid18)."""
+
+    @staticmethod
+    def _py_18(id15: str) -> str:
+        alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ012345"
+        out = id15
+        for chunk in range(3):
+            bits = 0
+            for j in range(5):
+                if id15[5 * chunk + j].isupper():
+                    bits |= 1 << j
+            out += alpha[bits]
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from salesforce_postgresql_etl_spark.functions.sfid import (  # noqa: PLC0415
+            sf_id_15_to_18,
+        )
+
+        samples = [
+            "001xxAAAxxxxxxx",   # scattered uppercase
+            "ABCDEFGHIJKLMNO",   # all uppercase -> suffix "555"-region
+            "abcdefghijklmno",   # none -> "AAA"
+            "0123456789abcde",   # digits are not uppercase
+            "aAaAaAaAaAaAaAa",   # alternating
+        ]
+        df = spark.createDataFrame([(s,) for s in samples], "id15 string")
+        got = {
+            r["id15"]: r["id18"]
+            for r in df.select("id15", sf_id_15_to_18("id15").alias("id18")).collect()
+        }
+        for s in samples:
+            assert got[s] == self._py_18(s), s
+
+    def test_contract_lengths(self, spark):
+        from salesforce_postgresql_etl_spark.functions.sfid import (  # noqa: PLC0415
+            sf_id_15_to_18,
+        )
+
+        df = spark.createDataFrame(
+            [("shortid",), ("ABCDEFGHIJKLMNOPQR",), (None,)], "id15 string"
+        )
+        rows = {
+            r["id15"]: r["id18"]
+            for r in df.select("id15", sf_id_15_to_18("id15").alias("id18")).collect()
+        }
+        assert rows["shortid"] is None          # malformed -> NULL
+        assert rows["ABCDEFGHIJKLMNOPQR"] == "ABCDEFGHIJKLMNOPQR"  # 18 passthrough
+        assert rows[None] is None
