@@ -254,3 +254,42 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine gap filling (r5d): hourly purchase counts with missing
+# hours materialized as zero rows — the dense time series every
+# dashboard/forecast consumer expects, built from a generated spine
+# (sequence/generate_series), not from the sparse data itself. The
+# bounds aggregate is a deliberate 1-row funnel (allowlisted); the
+# spine explode is ~thousands of rows regardless of data scale, and
+# the fill join is broadcast-sized on the spine side.
+# ---------------------------------------------------------------------------
+@register(
+    "q_gap_fill",
+    oracle="""
+WITH p AS (SELECT date_trunc('hour', ts) AS hr FROM events
+           WHERE event_type = 'purchase'),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM p),
+spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+          FROM b),
+cnt AS (SELECT hr, COUNT(*) AS n FROM p GROUP BY hr)
+SELECT CAST(spine.hr AS TIMESTAMP) AS hour, COALESCE(cnt.n, 0) AS n
+FROM spine LEFT JOIN cnt ON spine.hr = cnt.hr
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.date_trunc("hour", "ts").alias("hr")
+    )
+    bounds = p.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    cnt = p.groupBy(F.col("hr").alias("hour")).agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(cnt, "hour", "left").select(
+        "hour", F.coalesce("n", F.lit(0)).alias("n")
+    )

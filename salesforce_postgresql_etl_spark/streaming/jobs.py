@@ -314,3 +314,41 @@ def scd2_stream_sink(
         merged.write.mode("overwrite").parquet(table_dir)
 
     return apply
+
+
+def incremental_agg_stream_sink(
+    state_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    scale: int = 2,
+):
+    """foreachBatch function maintaining a materialized aggregate table
+    from an append-only stream — the streaming closure of
+    ``operators/incremental_agg.py`` (T8's MERGE sink generalized from
+    row upserts to agg-state upserts).
+
+    Each micro-batch is reduced to its per-group partial state
+    (count / exact decimal sum / min / max) and merged into the parquet
+    state table: the history is NEVER rescanned, and because every kept
+    statistic is a commutative monoid, the final state equals a
+    from-scratch aggregate regardless of how the stream was chunked
+    (asserted in tests/test_streaming.py). Same overwrite-safety
+    doctrine as scd2_stream_sink: materialize (localCheckpoint) before
+    overwriting the files being read; at 100 TB swap the dir for a
+    transactional table and write per-group upserts instead.
+    """
+    from ..operators.incremental_agg import agg_state, merge_agg_state
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = agg_state(batch_df, group_cols, value_col, scale)
+        try:
+            current = spark.read.parquet(state_dir)
+            merged = merge_agg_state(current, delta, group_cols)
+        except Exception:
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    return apply

@@ -43,6 +43,7 @@ _SP_ALLOWED = {
     "q_parquet_roundtrip": (1, "single-file test write"),
     "q_dq_report": (4, "four global 1-row aggregates assembled into the report row"),
     "q_bm25": (1, "avgdl/N corpus scalar (1 row) broadcast back"),
+    "q_gap_fill": (2, "min/max bounds (1 row) + spine explode from that row"),
 }
 
 # queries allowed a BroadcastNestedLoopJoin: non-equi band joins with a

@@ -354,3 +354,58 @@ def test_scd2_stream_equals_sequential_batches(spark, tmp_path):
     # Spot-check history: key 2 carries a closed B and an open B2.
     k2 = {(r.seg, r.valid_to is None) for r in got.where("k = 2").collect()}
     assert k2 == {("B", False), ("B2", True)}
+
+
+def test_incremental_agg_stream_equals_batch(spark, tmp_path):
+    """Streaming closure of incremental aggregate maintenance: an
+    events file stream drained chunk-by-chunk through the foreachBatch
+    state merge must finalize to exactly the from-scratch aggregate —
+    the monoid law under the stream's own chunking."""
+    from salesforce_postgresql_etl_spark.operators.incremental_agg import (
+        agg_state,
+        finalize_agg_state,
+    )
+    from salesforce_postgresql_etl_spark.sources import load
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        incremental_agg_stream_sink,
+    )
+
+    from .conftest import SF_DIR
+
+    e = load(spark, SF_DIR, "events").select("event_type", "value")
+    src = tmp_path / "chunks"
+    # three deterministic disjoint chunks as separate files
+    for i in range(3):
+        e.where(F.pmod(F.xxhash64("value"), F.lit(3)) == i).coalesce(1).write.parquet(
+            str(src / f"chunk_{i}")
+        )
+
+    state_dir = str(tmp_path / "agg_state")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            incremental_agg_stream_sink(state_dir, ["event_type"], "value")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_incr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in finalize_agg_state(
+            spark.read.parquet(state_dir), ["event_type"]
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in finalize_agg_state(
+            agg_state(e, ["event_type"], "value"), ["event_type"]
+        ).collect()
+    )
+    assert got == want
