@@ -51,6 +51,7 @@ def snapshot_diff(
     *,
     exact: bool = False,
     include_unchanged: bool = False,
+    include_values: bool = False,
 ) -> DataFrame:
     """Diff two snapshots of the same logical table.
 
@@ -109,4 +110,40 @@ def snapshot_diff(
     out = joined.select(*keys, change.alias("change_type"))
     if not include_unchanged:
         out = out.where(F.col("change_type") != "unchanged")
+    if include_values:
+        # Attach the NEW-side payload (NULL for deletes): one more join
+        # on the same key — partitioning reuse, no extra shuffle shape.
+        # This is the upsert feed a JDBC MERGE sink consumes (S5/T8).
+        out = out.join(new.select(*keys, *cmp_cols), on=keys, how="left")
     return out
+
+
+def apply_changes(
+    old: DataFrame, changes: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Apply a change feed back onto a snapshot: the CDC inverse.
+
+    ``changes`` must be a ``snapshot_diff(..., include_values=True)``
+    output whose compared columns cover every non-key column of
+    ``old`` — then ``apply_changes(old, snapshot_diff(old, new, k)) ≡
+    new`` exactly (the roundtrip law, pinned in tests). Shapes: one
+    left-anti join (drop deleted/updated keys) + one unionByName
+    (insert the new versions); both key-partitioned.
+    """
+    keys = list(key_cols)
+    payload = [c for c in old.columns if c not in set(keys)]
+    missing = [c for c in payload if c not in set(changes.columns)]
+    if missing:
+        raise ValueError(
+            f"changes feed lacks payload columns {missing}; produce it "
+            "with snapshot_diff(include_values=True) comparing all "
+            "non-key columns"
+        )
+    gone = changes.where(
+        F.col("change_type").isin(CHANGE_DELETE, CHANGE_UPDATE)
+    ).select(*keys)
+    survivors = old.join(gone, on=keys, how="left_anti")
+    arrived = changes.where(
+        F.col("change_type").isin(CHANGE_INSERT, CHANGE_UPDATE)
+    ).select(*keys, *payload)
+    return survivors.unionByName(arrived)

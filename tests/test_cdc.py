@@ -144,3 +144,64 @@ class TestSfId18:
         assert rows["shortid"] is None          # malformed -> NULL
         assert rows["ABCDEFGHIJKLMNOPQR"] == "ABCDEFGHIJKLMNOPQR"  # 18 passthrough
         assert rows[None] is None
+
+
+class TestApplyChanges:
+    """The CDC roundtrip law: apply_changes(old, diff(old, new)) == new."""
+
+    def test_roundtrip_on_fixture_snapshots(self, spark, sf_dir):
+        from salesforce_postgresql_etl_spark.operators.cdc import (  # noqa: PLC0415
+            apply_changes,
+        )
+        from salesforce_postgresql_etl_spark.queries.cdc_q import (  # noqa: PLC0415
+            _COLS,
+            _snapshots,
+        )
+
+        old, new = _snapshots(spark, sf_dir)
+        feed = snapshot_diff(
+            old, new, ["o_orderkey"], list(_COLS), include_values=True
+        )
+        rebuilt = apply_changes(old, feed, ["o_orderkey"])
+        a = sorted(tuple(r) for r in rebuilt.collect())
+        b = sorted(tuple(r) for r in new.collect())
+        assert a == b
+
+    def test_roundtrip_with_nulls_and_all_change_types(self, spark):
+        from salesforce_postgresql_etl_spark.operators.cdc import (  # noqa: PLC0415
+            apply_changes,
+        )
+
+        old = _frame(spark, [(1, "x", 1.0), (2, None, 2.0), (3, "z", 3.0)])
+        new = _frame(spark, [(2, "y", 2.0), (3, None, 3.0), (4, "w", None)])
+        feed = snapshot_diff(old, new, ["id"], include_values=True)
+        rebuilt = apply_changes(old, feed, ["id"])
+        assert sorted(tuple(r) for r in rebuilt.collect()) == sorted(
+            tuple(r) for r in new.collect()
+        )
+
+    def test_self_diff_applies_to_identity(self, spark):
+        from salesforce_postgresql_etl_spark.operators.cdc import (  # noqa: PLC0415
+            apply_changes,
+        )
+
+        old = _frame(spark, [(1, "x", 1.0), (2, "y", 2.0)])
+        feed = snapshot_diff(old, old, ["id"], include_values=True)
+        assert feed.count() == 0
+        rebuilt = apply_changes(old, feed, ["id"])
+        assert sorted(tuple(r) for r in rebuilt.collect()) == sorted(
+            tuple(r) for r in old.collect()
+        )
+
+    def test_missing_payload_rejected(self, spark):
+        from salesforce_postgresql_etl_spark.operators.cdc import (  # noqa: PLC0415
+            apply_changes,
+        )
+
+        old = _frame(spark, [(1, "x", 1.0)])
+        new = _frame(spark, [(1, "x", 2.0)])
+        feed = snapshot_diff(old, new, ["id"])  # no values carried
+        import pytest as _pytest  # noqa: PLC0415
+
+        with _pytest.raises(ValueError, match="payload"):
+            apply_changes(old, feed, ["id"])
