@@ -49,6 +49,40 @@ def asof_backward_join(
     Column names must be disjoint apart from ``keys`` (as-of pairs two
     differently-shaped streams; name the payloads before joining).
     """
+    return _asof_merge_join(
+        probe, quote, keys, probe_ts, quote_ts, tiebreak, forward=False
+    )
+
+
+def asof_forward_join(
+    probe: DataFrame,
+    quote: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    quote_ts: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """The mirror: for each probe row, the EARLIEST quote at-or-after
+    its ts (``quote_ts >= probe_ts``); ties on quote_ts broken by the
+    SMALLEST ``tiebreak``. Same bucket-merge physics — the window just
+    runs over descending timestamps. This is the "time to next event"
+    shape (next shipment after an order, next error after a deploy).
+    """
+    return _asof_merge_join(
+        probe, quote, keys, probe_ts, quote_ts, tiebreak, forward=True
+    )
+
+
+def _asof_merge_join(
+    probe: DataFrame,
+    quote: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    quote_ts: str,
+    tiebreak: str | None,
+    *,
+    forward: bool,
+) -> DataFrame:
     p_cols = [c for c in probe.columns if c not in keys]
     q_cols = [c for c in quote.columns if c not in keys]
     overlap = set(p_cols) & set(q_cols)
@@ -80,9 +114,18 @@ def asof_backward_join(
     )
     u = p_side.unionByName(q_side)
 
+    # Backward: ascending ts, greatest tiebreak wins (appears last).
+    # Forward: descending ts, SMALLEST tiebreak wins — __tb descends so
+    # the smallest is seen last by the running `last`. Either direction,
+    # quotes sort before probes at equal ts (side 0 < 1) so an exact-ts
+    # quote is eligible (<=/>= semantics).
+    if forward:
+        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__tb").desc()]
+    else:
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc()]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__q", ignorenulls=True).over(w))

@@ -293,3 +293,44 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(cnt, "hour", "left").select(
         "hour", F.coalesce("n", F.lit(0)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of (r5d): for each purchase, the EARLIEST click at-or-
+# after it — "time to next event". Driver-grades the forward merge
+# operator directly (operators/asof.py asof_forward_join: one shuffle,
+# descending-ts running last); oracle is the forward band join with the
+# mirrored tiebreak (smallest click id among equal ts).
+# ---------------------------------------------------------------------------
+from ..operators.asof import asof_forward_join  # noqa: E402
+
+
+@register(
+    "q_asof_forward",
+    oracle="""
+WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+           WHERE event_type = 'click'),
+     j AS (SELECT p.user_id, p.p_id, p.p_ts, c.c_id, c.c_ts,
+                  ROW_NUMBER() OVER (PARTITION BY p.p_id
+                                     ORDER BY c.c_ts ASC, c.c_id ASC) AS rn
+           FROM p LEFT JOIN c
+             ON p.user_id = c.user_id AND c.c_ts >= p.p_ts)
+SELECT user_id, p_id, p_ts, c_id AS next_click_id, c_ts AS next_click_ts
+FROM j WHERE rn = 1
+""",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("next_click_id"),
+        F.col("ts").alias("next_click_ts"),
+    )
+    return asof_forward_join(
+        p, c, ["user_id"], "p_ts", "next_click_ts", tiebreak="next_click_id"
+    ).select("user_id", "p_id", "p_ts", "next_click_id", "next_click_ts")

@@ -99,3 +99,81 @@ def test_merge_rejects_column_collisions(spark):
             p, p.withColumnRenamed("user_id", "u2").withColumnRenamed("p_ts", "q_ts"),
             keys=[], probe_ts="p_ts", quote_ts="q_ts",
         )
+
+
+# ----------------------------- forward variant -----------------------------
+
+
+def test_forward_equals_band_join_on_fixture(spark):
+    """Forward merge vs the band-join form computed inline: for each
+    purchase, the earliest click at-or-after; ties -> smallest id."""
+    from pyspark.sql import Window
+    from salesforce_postgresql_etl_spark.operators.asof import asof_forward_join
+
+    p, c = _purchases_clicks(spark)
+    merge = asof_forward_join(
+        p, c, keys=["user_id"], probe_ts="p_ts", quote_ts="asof_click_ts",
+        tiebreak="asof_click_id",
+    ).select("user_id", "p_id", "p_ts", "asof_click_id", "asof_click_ts")
+
+    band = (
+        p.join(c, "user_id", "left")
+        .where(F.col("asof_click_ts") >= F.col("p_ts"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("p_id").orderBy(
+                    F.asc("asof_click_ts"), F.asc("asof_click_id")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # band form drops no-match probes; re-add them with NULL payload
+    matched_ids = [r.p_id for r in band.select("p_id").collect()]
+    unmatched = p.where(~F.col("p_id").isin(matched_ids)).select(
+        "user_id", "p_id", "p_ts",
+        F.lit(None).cast("long").alias("asof_click_id"),
+        F.lit(None).cast("timestamp_ntz").alias("asof_click_ts"),
+    )
+    want = band.select(merge.columns).unionByName(unmatched)
+    key = lambda r: (r.p_id,)
+    assert sorted(merge.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_forward_edge_cases(spark):
+    import datetime as dt
+    from salesforce_postgresql_etl_spark.operators.asof import asof_forward_join
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    probe = spark.createDataFrame(
+        [(1, "p1", ts("2024-01-01T10:00")), (1, "p2", ts("2024-01-01T23:00"))],
+        "k long, pid string, pts timestamp_ntz",
+    )
+    quote = spark.createDataFrame(
+        [
+            # exact-ts quote: eligible (>= semantics)
+            (1, 10, ts("2024-01-01T10:00")),
+            # tie at 12:00 -> SMALLEST id (20) must win
+            (1, 21, ts("2024-01-01T12:00")),
+            (1, 20, ts("2024-01-01T12:00")),
+        ],
+        "k long, qid long, qts timestamp_ntz",
+    )
+    got = {
+        r["pid"]: (r["qid"])
+        for r in asof_forward_join(
+            probe, quote, ["k"], "pts", "qts", tiebreak="qid"
+        ).collect()
+    }
+    assert got["p1"] == 10  # exact ts eligible
+    assert got["p2"] is None  # nothing after 23:00
+
+    probe2 = spark.createDataFrame(
+        [(1, "p3", ts("2024-01-01T11:00"))], "k long, pid string, pts timestamp_ntz"
+    )
+    got2 = asof_forward_join(
+        probe2, quote, ["k"], "pts", "qts", tiebreak="qid"
+    ).collect()[0]
+    assert got2["qid"] == 20  # smallest id among the 12:00 tie
