@@ -67,3 +67,119 @@ def test_union_all_count_additivity(spark, xs, ys):
     a = spark.createDataFrame([(x,) for x in xs], "v int")
     b = spark.createDataFrame([(y,) for y in ys], "v int")
     assert a.unionByName(b).count() == len(xs) + len(ys)
+
+
+# ----------------------------- r5d properties ------------------------------
+
+_EVT = st.sampled_from(["signup", "click", "purchase", "view"])
+_TS = st.integers(min_value=0, max_value=50)  # minutes past a fixed epoch
+
+
+def _events_df(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (u, base + dt.timedelta(minutes=m), t)
+            for (u, m, t) in rows
+        ],
+        "user_id long, ts timestamp_ntz, event_type string",
+    )
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 3), _TS, _EVT), min_size=1, max_size=10
+    ),
+    extra=st.tuples(st.integers(1, 3), _TS, _EVT),
+)
+@_settings
+def test_funnel_stage_monotone_under_more_events(spark, rows, extra):
+    # Adding an event can only relax stage anchors (each anchor is a
+    # MIN over a superset), so no user's funnel stage may decrease.
+    from salesforce_postgresql_etl_spark.operators.funnel import funnel_stages
+
+    stages = ("signup", "click", "purchase")
+    before = {
+        r["user_id"]: r["funnel_stage"]
+        for r in funnel_stages(_events_df(spark, rows), stages).collect()
+    }
+    after = {
+        r["user_id"]: r["funnel_stage"]
+        for r in funnel_stages(_events_df(spark, [*rows, extra]), stages).collect()
+    }
+    for u, s in before.items():
+        assert after[u] >= s
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 2), _TS, st.integers(0, 1000)),
+        min_size=2,
+        max_size=10,
+    )
+)
+@_settings
+def test_twa_bounded_by_min_max(spark, rows):
+    # A time-weighted average is a convex combination of the observed
+    # values: min(v) <= twa <= max(v) for every user with >= 2 distinct
+    # event times.
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (u, base + dt.timedelta(minutes=m), i, v / 10.0)
+            for i, (u, m, v) in enumerate(rows)
+        ],
+        "user_id long, ts timestamp_ntz, event_id long, value double",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = df.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (
+            F.lead(F.col("ts").cast("timestamp").cast("long")).over(w)
+            - F.col("ts").cast("timestamp").cast("long")
+        ).alias("dt"),
+    ).where(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    twa = iv.groupBy("user_id").agg(
+        (
+            (F.sum(F.col("v") * F.col("dt")) * F.lit(100)).cast("bigint")
+            / (F.sum("dt") * F.lit(100))
+        ).alias("twa"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    for r in twa.collect():
+        assert float(r["lo"]) - 1e-9 <= r["twa"] <= float(r["hi"]) + 1e-9
+
+
+@given(
+    olds=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)), max_size=8),
+    news=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3)), max_size=8),
+)
+@_settings
+def test_cdc_roundtrip_property(spark, olds, news):
+    # apply(old, diff(old, new)) == new for ANY pair of keyed tables
+    # (last writer wins per key to make the inputs well-formed).
+    from salesforce_postgresql_etl_spark.operators.cdc import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    def mk(rows):
+        dedup = {k: v for k, v in rows}
+        return spark.createDataFrame(
+            [(k, v) for k, v in dedup.items()] or [(999, 0)], "id long, v long"
+        )
+
+    old, new = mk(olds), mk(news)
+    feed = snapshot_diff(old, new, ["id"], include_values=True)
+    rebuilt = apply_changes(old, feed, ["id"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
