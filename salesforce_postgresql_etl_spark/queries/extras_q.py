@@ -414,3 +414,34 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("r50") - 0.5) <= 0.05).alias("p50_ok"),
         (F.abs(F.col("r90") - 0.9) <= 0.05).alias("p90_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (r5d): wide measures -> long (measure, value) rows —
+# the reshaping Spark 4 exposes natively as DataFrame.unpivot (and the
+# inverse of q_pivot). The oracle is the portable UNION ALL spelling,
+# so the hash match pins Spark's unpivot against first-principles SQL.
+# Per-row fanout x4, no shuffle: scan-shaped at any scale.
+# ---------------------------------------------------------------------------
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )

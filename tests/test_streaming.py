@@ -409,3 +409,70 @@ def test_incremental_agg_stream_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Restarting an availableNow drain against the SAME checkpoint dir
+    must process only files that arrived since the last run — the
+    exactly-once source-tracking contract an incremental sync relies
+    on (a re-run must not double-load history)."""
+    import time
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    sink_dir = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt_resume")
+
+    def write_chunk(i, n):
+        spark.range(n).select(
+            (F.col("id") + i * 1000).alias("id")
+        ).coalesce(1).write.parquet(str(src / f"chunk_{i}"))
+        time.sleep(1.1)
+
+    def drain():
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(f"{src}/*")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_chunk(0, 5)
+    write_chunk(1, 7)
+    drain()
+    first = spark.read.parquet(sink_dir).count()
+    assert first == 12
+
+    write_chunk(2, 3)
+    drain()
+    rows = spark.read.parquet(sink_dir)
+    assert rows.count() == 15  # only the 3 new rows appended, no re-load
+    assert rows.select("id").distinct().count() == 15
+
+
+def test_observe_metrics_piggyback_on_query(spark):
+    """DataFrame.observe: pipeline metrics collected DURING the main
+    query's execution — no second scan. The operational pattern for
+    row-count reconciliation (SURVEY §3.1.3) at 100 TB: the load job
+    itself emits the counts the validator needs."""
+    from pyspark.sql import Observation
+
+    from salesforce_postgresql_etl_spark.sources import load
+
+    from .conftest import SF_DIR
+
+    obs = Observation("load_metrics")
+    e = load(spark, SF_DIR, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("value_total"),
+    )
+    landed = e.where(F.col("event_type") != "error").count()
+    m = obs.get
+    assert m["rows_seen"] == 10000          # metrics see the PRE-filter scan
+    assert landed < m["rows_seen"]
+    assert float(m["value_total"]) > 0
