@@ -59,11 +59,17 @@ _MODULES = (
     "analytics_q",  # r5d additions (funnel/cohort/TWA) — tail
     "ir_q",  # r5d additions (inverted index, BM25) — tail
 )
-# r6 rotation note: after a green r5 run the never-driver-graded set is
-# the tail — extras_q (q_join_bucketed..q_salted_join, 9) + textprep_q
-# (3) + cdc_q (1) + analytics_q (3) + ir_q (2); front those plus the
-# freshly-stalest families (windows/scalars/stream_equiv/udfs/sources_q,
-# green r4) and anchor with r5-green rows.
+# r6 rotation note: after a green r5 run the never-driver-graded set
+# is the tail — extras_q (q_join_bucketed..q_salted_join + the r5d
+# q_quantile_sketch + q_unpivot, 11), textprep_q (3), cdc_q
+# (q_snapshot_diff q_sfid18 q_incremental_agg q_entity_match, 4),
+# analytics_q (q_funnel q_cohort_retention q_twa q_attribution
+# q_mad_outliers q_gap_fill q_asof_forward, 7), ir_q (2), plus
+# q_udtf_rle appended to udfs — 28 never-graded. Those fill slots
+# 1–28 of the r6 window; the remaining ~22 slots go to the freshly-
+# stalest families (windows/scalars/stream_equiv/udfs/sources_q,
+# green r4). relational/aggregates/sampling/corpus/llm will then be
+# r5-green, one round stale — rotate back r7.
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
