@@ -140,3 +140,130 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     total = per_term[0] + per_term[1] + per_term[2]
     return scored.groupBy("doc_id").agg(F.round(total, 6).alias("bm25"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (r5d): regex redaction of emails / phone numbers / IPv4
+# before a corpus ships to training — pure regexp_replace chains, so
+# redaction runs at scan speed inside codegen. Fixture docs carry no
+# PII, so both engines deterministically PLANT the same pseudo-PII
+# first (derived from doc_id), then scrub; the hash match proves the
+# patterns and replacement order agree cross-engine. Order matters
+# (emails before bare phone-ish digit runs) and is fixed in both.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_PHONE_RE}', '<PHONE>', 'g'),
+         '{_IP_RE}', '<IP>', 'g') AS clean_text
+FROM planted
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return planted.select("doc_id", clean.alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring (r5d): the cheapest useful language-
+# model quality proxy — score(doc) = mean over tokens of
+# -ln p(w | corpus), with p from corpus-wide token frequencies
+# (add-one smoothing over the observed vocabulary). High score = rare-
+# token soup (boilerplate/noise); low = stereotypical text. Two hash
+# aggs + one broadcast-joined scan, same physics as TF-IDF; ln rounds
+# at 6 dp both engines, and the per-doc mean divides two EXACT values
+# (a decimal-quantized logprob sum and a token count), so the rounded
+# surface is stable. The 1e-6 quantization of each token's logprob
+# makes the SUM order-independent (decimal addition is associative).
+# ---------------------------------------------------------------------------
+@register(
+    "q_unigram_logprob",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents),
+freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok,
+               COUNT(*) AS n_vocab FROM freq),
+lp AS (SELECT w,
+              CAST(round(-ln((c + 1.0) / (tot.n_tok + tot.n_vocab)), 6)
+                   AS DECIMAL(18,6)) AS nll
+       FROM freq CROSS JOIN tot)
+SELECT tok.doc_id,
+       round(CAST(SUM(lp.nll) * 1000000 AS BIGINT)
+             / (COUNT(*) * 1000000.0), 6) AS avg_nll,
+       COUNT(*) AS n_tok
+FROM tok JOIN lp USING (w)
+GROUP BY tok.doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(
+        F.sum("c").alias("n_tok"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(
+            -F.log(
+                (F.col("c") + F.lit(1.0))
+                / (F.col("n_tok") + F.col("n_vocab"))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("nll"),
+    )
+    return (
+        tok.join(lp, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                (F.sum("nll") * F.lit(1000000)).cast("bigint")
+                / (F.count(F.lit(1)) * F.lit(1000000.0)),
+                6,
+            ).alias("avg_nll"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )

@@ -44,6 +44,7 @@ _SP_ALLOWED = {
     "q_dq_report": (4, "four global 1-row aggregates assembled into the report row"),
     "q_bm25": (1, "avgdl/N corpus scalar (1 row) broadcast back"),
     "q_gap_fill": (2, "min/max bounds (1 row) + spine explode from that row"),
+    "q_unigram_logprob": (1, "corpus token-total scalar (1 row) broadcast back"),
 }
 
 # queries allowed a BroadcastNestedLoopJoin: non-equi band joins with a
@@ -57,6 +58,7 @@ _BNL_ALLOWED = {
     "q_tfidf",  # 1-row corpus-N joined to every doc
     "q_dq_report",  # 1-row × 1-row report assembly crosses
     "q_bm25",  # 1-row avgdl/N stats joined to every scored doc
+    "q_unigram_logprob",  # 1-row corpus totals joined to the vocab frame
 }
 
 _ROW_UDF_ALLOWED = {"q_udf_scalar"}  # X1: the slow path, demonstrated once
