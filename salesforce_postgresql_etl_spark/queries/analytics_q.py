@@ -334,3 +334,90 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_forward_join(
         p, c, ["user_id"], "p_ts", "next_click_ts", tiebreak="next_click_id"
     ).select("user_id", "p_id", "p_ts", "next_click_id", "next_click_ts")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (r5d): cohesion of the near-dup graph (triangle-
+# dense clusters = true duplicate families; triangle-free pair chains =
+# LSH borderline noise). Spark side is the degree-ordered node-iterator
+# (orient every edge from (deg,id)-lower to higher endpoint, join
+# wedges at the low vertex, semi-join the closing edge) — the classic
+# distributed-triangle trick that bounds per-vertex wedge fan-out by
+# O(sqrt(m)) instead of max-degree², so hub nodes can't blow up the
+# wedge join at 100 TB. The oracle counts u<v<w triples directly.
+# ---------------------------------------------------------------------------
+from ..operators.dedup import neardup_pairs  # noqa: E402
+from .llm import NEARDUP_THRESHOLD  # noqa: E402
+
+
+@register(
+    "q_triangles",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+             FROM documents),
+p AS (SELECT a.doc_id AS u, b.doc_id AS v
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+            / CAST(len(a.t) + len(b.t)
+                   - len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+            >= {NEARDUP_THRESHOLD}),
+nodes AS (SELECT u AS n FROM p UNION SELECT v FROM p),
+tri AS (SELECT COUNT(*) AS n_triangles
+        FROM p ab JOIN p ac ON ab.u = ac.u AND ab.v < ac.v
+                  JOIN p bc ON bc.u = ab.v AND bc.v = ac.v)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM p) AS n_edges,
+       tri.n_triangles
+FROM tri
+""",
+)
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    e = (
+        neardup_pairs(d, threshold=NEARDUP_THRESHOLD, strategy="brute")
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .distinct()
+    )
+    # degree over the undirected graph
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from (deg,id)-lower to (deg,id)-higher endpoint
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    withdeg = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = withdeg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("b"), F.col("ddeg").alias("db")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("c"), F.col("ddeg").alias("dc")
+    )
+    wedges = e1.join(e2, "src").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    # lazy 1-row side aggregates (no eager driver jobs at build time),
+    # assembled dq_report-style via broadcast crosses
+    nodes_cnt = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges_cnt = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(nodes_cnt))
+        .crossJoin(F.broadcast(edges_cnt))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

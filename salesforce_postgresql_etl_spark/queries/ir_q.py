@@ -267,3 +267,56 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (r5d): Efraimidis–Spirakis via
+# deterministic hash keys — each doc gets u ~ Uniform(0,1) derived from
+# md5 (13 hex digits -> exact 52-bit integer -> ONE IEEE division), and
+# key = -ln(u)/w with w = n_chars; the k smallest keys are a weighted
+# sample without replacement. Hash-derived u makes the "random" sample
+# reproducible across engines, retries, and partitionings — the only
+# sampling discipline that survives a distributed re-run. Selection is
+# a global top-k (TakeOrderedAndProject — O2 physics, no full sort at
+# scale). The SAME SQL expression text runs on both engines.
+# ---------------------------------------------------------------------------
+_ES_SEED = "es1:"
+_ES_K = 50
+
+
+def _es_key_sql() -> str:
+    """-ln(u)/n_chars with u from md5(seed || doc_id), identical text
+    for Spark SQL and DuckDB."""
+    digit = (
+        "(instr('0123456789abcdef', "
+        "substring(md5(concat('" + _ES_SEED + "', cast(doc_id as string))), "
+        "{i}, 1)) - 1)"
+    )
+    # bigint accumulator: Spark's instr yields INT and 16^13 overflows
+    # int32 under ANSI; the cast promotes the whole fold (DuckDB's
+    # instr is already BIGINT — the cast is a no-op there)
+    v = f"cast({digit.format(i=1)} as bigint)"
+    for i in range(2, 14):
+        v = f"({v} * 16 + {digit.format(i=i)})"
+    u = f"((cast({v} as double) + 0.5) / 4503599627370496.0)"
+    return f"(-ln({u}) / n_chars)"
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+SELECT doc_id, n_chars, round({_es_key_sql()}, 6) AS es_key
+FROM documents
+ORDER BY {_es_key_sql()} ASC, doc_id ASC
+LIMIT {_ES_K}
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    key = F.expr(_es_key_sql())
+    return (
+        d.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy(F.asc("k"), F.asc("doc_id"))
+        .limit(_ES_K)
+        .select("doc_id", "n_chars", F.round("k", 6).alias("es_key"))
+    )

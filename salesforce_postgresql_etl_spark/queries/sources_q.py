@@ -200,3 +200,40 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC sink roundtrip (r5d): the other columnar format Spark ships
+# natively — same source-side aggregate oracle doctrine as the parquet
+# roundtrip (lossless write+read => aggregates over the read-back equal
+# aggregates over the source), with the read-back filter exercising
+# ORC predicate pushdown on a data column.
+# ---------------------------------------------------------------------------
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)
+         / 100.0 AS qty_sum
+FROM lineitem
+WHERE l_returnflag = 'R'
+""",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = _tmp_dir(spark, "orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).where(F.col("l_returnflag") == "R")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("key_sum"),
+        (
+            (F.sum(F.col("l_quantity").cast("decimal(12,2)")) * F.lit(100)).cast(
+                "bigint"
+            )
+            / F.lit(100.0)
+        ).alias("qty_sum"),
+    )
