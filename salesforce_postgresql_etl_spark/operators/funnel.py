@@ -39,6 +39,7 @@ def funnel_stages(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_seconds: int | None = None,
 ) -> DataFrame:
     """Per-user funnel progression.
 
@@ -46,6 +47,16 @@ def funnel_stages(
     is the number of consecutive stages completed (0..len(stages)) and
     ``stage_ts`` the timestamp of the deepest completed stage (NULL at
     stage 0). Every user present in ``events`` gets a row.
+
+    ``max_gap_seconds``: conversion-window semantics — stage *k+1* only
+    counts within that many seconds after the stage-*k* anchor
+    (marketing funnels are always windowed; an unbounded funnel calls a
+    purchase three years after signup a conversion). NOTE the window
+    anchors at the MIN qualifying timestamp per stage, which is NOT
+    globally optimal under a gap cap (a later stage-k event might admit
+    a stage-k+1 the earlier anchor's window misses) — that greedy
+    semantic is the standard product-analytics definition, and it is
+    what the oracle mirrors.
     """
     if not stages:
         raise ValueError("stages must be non-empty")
@@ -61,10 +72,17 @@ def funnel_stages(
     reached = [anchor]
     for k, stage in enumerate(stages[1:], start=2):
         prev = reached[-1].select(user_col, F.col(f"t{k - 1}").alias("prev_t"))
+        cond = F.col(ts_col) > F.col("prev_t")
+        if max_gap_seconds is not None:
+            cond = cond & (
+                F.col(ts_col)
+                <= F.col("prev_t")
+                + F.expr(f"INTERVAL {int(max_gap_seconds)} SECONDS")
+            )
         nxt = (
             events.where(F.col(type_col) == stage)
             .join(prev, user_col)
-            .where(F.col(ts_col) > F.col("prev_t"))
+            .where(cond)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t{k}"))
         )

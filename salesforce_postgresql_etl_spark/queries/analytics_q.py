@@ -346,6 +346,7 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(sqrt(m)) instead of max-degree², so hub nodes can't blow up the
 # wedge join at 100 TB. The oracle counts u<v<w triples directly.
 # ---------------------------------------------------------------------------
+from ..operators.clustering import dedup_clusters  # noqa: E402
 from ..operators.dedup import neardup_pairs  # noqa: E402
 from .llm import NEARDUP_THRESHOLD  # noqa: E402
 
@@ -420,4 +421,109 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nodes_cnt))
         .crossJoin(F.broadcast(edges_cnt))
         .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed funnel (r5d): the conversion-window variant — each stage
+# counts only within 48h of the previous stage's anchor (greedy
+# min-anchor semantics, the standard product-analytics definition;
+# see the operator docstring for the non-optimality caveat the oracle
+# deliberately shares).
+# ---------------------------------------------------------------------------
+_FUNNEL_GAP_S = 48 * 3600
+
+
+@register(
+    "q_funnel_horizon",
+    oracle=f"""
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+              AND e.ts <= s1.t1 + INTERVAL {_FUNNEL_GAP_S} SECONDS
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+              AND e.ts <= s2.t2 + INTERVAL {_FUNNEL_GAP_S} SECONDS
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS funnel_stage,
+       COALESCE(t3, t2, t1) AS stage_ts
+FROM u LEFT JOIN s1 USING (user_id)
+       LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+""",
+)
+def q_funnel_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return funnel_stages(e, FUNNEL_STAGES, max_gap_seconds=_FUNNEL_GAP_S)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup survivor (r5d): RefinedWeb-style keep-best —
+# near-dup clusters keep the member with the HIGHEST quality score
+# (not the smallest id). Composes pairs -> connected components ->
+# quality join -> per-cluster arg-max with a (quality, doc_id)
+# lexicographic tiebreak. The oracle rebuilds the same fixpoint
+# recursively and arg-maxes identically.
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+            / CAST(len(a.t) + len(b.t)
+                   - len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+            >= {NEARDUP_THRESHOLD}),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM p
+          UNION SELECT doc_b, doc_a FROM p),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node),
+lab AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+q AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents),
+score AS (SELECT doc_id,
+                 CAST(len(t) AS DOUBLE) / n_words AS quality FROM q),
+m AS (SELECT lab.cluster_id, lab.doc_id, score.quality
+      FROM lab JOIN score USING (doc_id))
+SELECT cluster_id,
+       arg_max(doc_id, quality * 10000000 + doc_id) AS keep_doc,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM m GROUP BY cluster_id
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    pairs = neardup_pairs(d, threshold=NEARDUP_THRESHOLD, strategy="brute").select(
+        "doc_a", "doc_b"
+    )
+    clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
+    toks = F.split(F.col("text"), " ")
+    score = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("quality"),
+    )
+    m = clusters.join(score, "doc_id")
+    # composite scalar key, identical arithmetic in the oracle: quality
+    # values are rationals with denominator <= doc length (spacing
+    # >= ~2.8e-4), so the doc_id/1e7 tiebreak term can never reorder
+    # distinct qualities
+    return m.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.col("quality") * F.lit(10000000) + F.col("doc_id")
+        ).alias("keep_doc"),
+        F.count(F.lit(1)).alias("cluster_size"),
     )

@@ -101,3 +101,56 @@ class TestFunnel:
             [(1, "2024-01-01T00:00", "signup"), (2, "2024-01-01T00:00", "view")],
         )
         assert _stages(funnel_stages(e, ("signup",))) == {1: 1, 2: 0}
+
+
+class TestFunnelHorizon:
+    STAGES = ("signup", "click", "purchase")
+
+    def test_gap_excludes_late_conversion(self, spark):
+        e = _events(
+            spark,
+            [
+                (1, "2024-01-01T00:00", "signup"),
+                (1, "2024-01-01T00:30", "click"),      # inside 1h window
+                (2, "2024-01-01T00:00", "signup"),
+                (2, "2024-01-01T02:00", "click"),      # outside 1h window
+            ],
+        )
+        got = _stages(funnel_stages(e, self.STAGES, max_gap_seconds=3600))
+        assert got == {1: 2, 2: 1}
+
+    def test_gap_boundary_inclusive(self, spark):
+        e = _events(
+            spark,
+            [
+                (1, "2024-01-01T00:00", "signup"),
+                (1, "2024-01-01T01:00", "click"),  # exactly at the bound
+            ],
+        )
+        assert _stages(funnel_stages(e, self.STAGES, max_gap_seconds=3600)) == {1: 2}
+
+    def test_greedy_anchor_caveat(self, spark):
+        # Documented greedy semantic: the MIN signup anchors the window
+        # even when a LATER signup would have admitted the click.
+        e = _events(
+            spark,
+            [
+                (1, "2024-01-01T00:00", "signup"),
+                (1, "2024-01-01T05:00", "signup"),
+                (1, "2024-01-01T05:30", "click"),  # within 1h of signup #2 only
+            ],
+        )
+        assert _stages(funnel_stages(e, self.STAGES, max_gap_seconds=3600)) == {1: 1}
+
+    def test_no_gap_equals_unbounded(self, spark):
+        e = _events(
+            spark,
+            [
+                (1, "2024-01-01T00:00", "signup"),
+                (1, "2024-03-01T00:00", "click"),
+            ],
+        )
+        assert _stages(funnel_stages(e, self.STAGES)) == {1: 2}
+        assert _stages(
+            funnel_stages(e, self.STAGES, max_gap_seconds=3600)
+        ) == {1: 1}
