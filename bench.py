@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     "q_attribution",
     "q_bm25",
     "q_quantile_sketch",
+    # r5d second wave: MDM entity resolution (blocked levenshtein pairs
+    # into iterative connected components — the second clustering-class
+    # entry) and the funnel's conversion-window variant.
+    "q_entity_match",
+    "q_funnel_horizon",
 ]
 
 

@@ -320,3 +320,74 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_ES_K)
         .select("doc_id", "n_chars", F.round("k", 6).alias("es_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (r5d): pointwise mutual information over adjacent
+# token pairs — the classic collocation detector (which bigrams occur
+# far more than their unigram frequencies predict). All counts are
+# exact integers; the single ln rounds at 6 dp on both engines with
+# the ratio assembled in one fixed textual order.
+# ---------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "q_pmi",
+    oracle=f"""
+WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT unnest(t) AS w FROM tok),
+unic AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+big AS (SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM tok),
+bigc AS (SELECT bigram, COUNT(*) AS c_ab FROM big GROUP BY bigram
+         HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_big FROM big)
+SELECT b.bigram, b.c_ab,
+       round(ln((CAST(b.c_ab AS DOUBLE) * tot.n_big)
+                / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+FROM bigc b
+JOIN unic ua ON ua.w = string_split(b.bigram, ' ')[1]
+JOIN unic ub ON ub.w = string_split(b.bigram, ' ')[2]
+CROSS JOIN tot
+""",
+)
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big = d.select(F.explode(bigrams).alias("bigram"))
+    bigc = (
+        big.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    uni = d.select(F.explode(t).alias("w"))
+    unic = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = big.agg(F.count(F.lit(1)).alias("n_big"))
+    ua = unic.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    ub = unic.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    parts = F.split(F.col("bigram"), " ")
+    return (
+        bigc.withColumn("wa", parts.getItem(0))
+        .withColumn("wb", parts.getItem(1))
+        .join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") * F.col("n_big"))
+                    / (F.col("ca").cast("double") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -46,6 +46,7 @@ _SP_ALLOWED = {
     "q_gap_fill": (2, "min/max bounds (1 row) + spine explode from that row"),
     "q_unigram_logprob": (1, "corpus token-total scalar (1 row) broadcast back"),
     "q_orc_roundtrip": (1, "single-file test write"),
+    "q_pmi": (1, "bigram-total scalar (1 row) broadcast back"),
     "q_triangles": (3, "three global 1-row aggregates assembled into one row"),
 }
 
@@ -62,6 +63,7 @@ _BNL_ALLOWED = {
     "q_bm25",  # 1-row avgdl/N stats joined to every scored doc
     "q_unigram_logprob",  # 1-row corpus totals joined to the vocab frame
     "q_triangles",  # 1-row × 1-row stat assembly crosses (+ brute pair oracle source)
+    "q_pmi",  # 1-row bigram total joined to every scored bigram
 }
 
 _ROW_UDF_ALLOWED = {"q_udf_scalar"}  # X1: the slow path, demonstrated once
