@@ -527,3 +527,73 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep_doc"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key linear trend (r5d): slope/intercept of daily event counts vs
+# day index, per event_type — the "is this metric growing" primitive.
+# Closed-form least squares over EXACT integer sums (x = day index,
+# y = daily count): n, Σx, Σy, Σxy, Σx² are all integers, so both
+# engines assemble identical numerators/denominators and the slope =
+# num/den is ONE IEEE division — bit-deterministic without rounding.
+# (Built-in regr_slope is avoided on purpose: its incremental update
+# order is engine-internal and not hash-comparable.)
+# ---------------------------------------------------------------------------
+@register(
+    "q_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                        date_trunc('day', ts)) AS BIGINT) AS x,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+s AS (SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type)
+SELECT event_type, n,
+       CAST(n * sxy - sx * sy AS BIGINT)
+         / CAST(n * sxx - sx * sx AS BIGINT) AS slope,
+       CAST(sy * sxx - sx * sxy AS BIGINT)
+         / CAST(n * sxx - sx * sx AS BIGINT) AS intercept
+FROM s
+""",
+)
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    daily = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("x"),
+        "y",
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("bigint")
+    return s.select(
+        "event_type",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("bigint")
+            / den
+        ).alias("slope"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "bigint"
+            )
+            / den
+        ).alias("intercept"),
+    )

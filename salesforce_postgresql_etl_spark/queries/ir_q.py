@@ -391,3 +391,43 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-corpus) near-dup (r5d): which docs of an incoming
+# batch already exist in the kept corpus — the recurring-crawl dedup
+# shape. Registered in its driver-checkable brute form (the oracle
+# mirror); the scale path is neardup_pairs_cross(strategy="minhash")
+# — banded bipartite candidates against MATERIALIZED corpus signatures
+# — proven ≡ brute in tests/test_llm_ops.py.
+# ---------------------------------------------------------------------------
+from ..operators.dedup import neardup_pairs_cross  # noqa: E402
+from .llm import NEARDUP_THRESHOLD  # noqa: E402
+
+
+@register(
+    "q_neardup_incremental",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
+             FROM documents),
+newb AS (SELECT * FROM tok WHERE doc_id % 5 = 0),
+corp AS (SELECT * FROM tok WHERE doc_id % 5 != 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+       / CAST(len(a.t) + len(b.t)
+              - len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+         AS jaccard
+FROM newb a CROSS JOIN corp b
+WHERE CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+      / CAST(len(a.t) + len(b.t)
+             - len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+      >= {NEARDUP_THRESHOLD}
+""",
+)
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    new_b = d.where(F.col("doc_id") % 5 == 0)
+    corp = d.where(F.col("doc_id") % 5 != 0)
+    return neardup_pairs_cross(
+        new_b, corp, threshold=NEARDUP_THRESHOLD, strategy="brute"
+    )

@@ -489,3 +489,49 @@ def test_multimodal_resize_stub_raises(spark):
         resize_images(media, 8, 8, fake=False).collect()
     with _pytest.raises(Exception, match="NotImplementedError|frame"):
         sample_frames(media, fake=False).collect()
+
+
+def test_cross_corpus_minhash_equals_brute(spark):
+    """Bipartite LSH candidates must recover exactly the brute cross
+    pairs on the fixture corpus (same guarantee the self-join MinHash
+    path carries), and the cross pair set must equal the self-join
+    pair set of the union restricted to cross pairs."""
+    from salesforce_postgresql_etl_spark.operators.dedup import (
+        neardup_pairs,
+        neardup_pairs_cross,
+    )
+    from salesforce_postgresql_etl_spark.queries.llm import NEARDUP_THRESHOLD
+    from salesforce_postgresql_etl_spark.sources import load
+
+    from .conftest import SF_DIR
+
+    d = load(spark, SF_DIR, "documents")
+    new_b = d.where(F.col("doc_id") % 5 == 0)
+    corp = d.where(F.col("doc_id") % 5 != 0)
+
+    brute = sorted(
+        (r.doc_a, r.doc_b)
+        for r in neardup_pairs_cross(
+            new_b, corp, NEARDUP_THRESHOLD, "brute"
+        ).collect()
+    )
+    lsh = sorted(
+        (r.doc_a, r.doc_b)
+        for r in neardup_pairs_cross(
+            new_b, corp, NEARDUP_THRESHOLD, "minhash"
+        ).collect()
+    )
+    assert lsh == brute
+    assert len(brute) > 0  # the fixture split must actually cross-match
+
+    # consistency with the self-join form over the union
+    self_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in neardup_pairs(d, NEARDUP_THRESHOLD, "brute").collect()
+    }
+    cross_from_self = sorted(
+        (a, b) if a % 5 == 0 else (b, a)
+        for (a, b) in self_pairs
+        if (a % 5 == 0) != (b % 5 == 0)
+    )
+    assert sorted(brute) == sorted(cross_from_self)

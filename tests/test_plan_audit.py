@@ -56,6 +56,7 @@ _BNL_ALLOWED = {
     "q_join_range",  # band join, 4-row band dim broadcast
     "q_join_cross",  # deliberate cross of two 5-25 row dims
     "q_neardup_jaccard",  # brute oracle baseline; scale path = MinHash+LSH
+    "q_neardup_incremental",  # brute cross-corpus oracle baseline; scale path = bipartite LSH
     "q_neardup_embed",  # brute oracle baseline; scale path = IVF/LSH
     "q_simsearch_topk",  # brute top-k baseline; scale path = IVF probe
     "q_tfidf",  # 1-row corpus-N joined to every doc
