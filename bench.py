@@ -130,6 +130,23 @@ def _extra_benches():
             docs, threshold=NEARDUP_THRESHOLD, strategy="minhash", persist=True
         )
 
+    def neardup_cross_lsh(spark, sf_dir):
+        # r5d: bipartite incremental dedup — the nightly batch (20% of
+        # docs) against the kept corpus (80%) through banded bipartite
+        # candidates. The registered q_neardup_incremental keeps the
+        # brute cross join as its oracle form; ≡ proven in
+        # tests/test_llm_ops.py.
+        from salesforce_postgresql_etl_spark.operators.dedup import (
+            neardup_pairs_cross,
+        )
+
+        docs = load(spark, sf_dir, "documents")
+        new_b = docs.where(F.col("doc_id") % 5 == 0)
+        corp = docs.where(F.col("doc_id") % 5 != 0)
+        return neardup_pairs_cross(
+            new_b, corp, threshold=NEARDUP_THRESHOLD, strategy="minhash"
+        )
+
     def neardup_ngram_lsh(spark, sf_dir):
         # r5 (VERDICT r4 #2): char-5-gram near-dup through MinHash
         # banding — replaces the 510 s/run excluded brute shingle join
@@ -239,6 +256,7 @@ def _extra_benches():
         return connected_components_star(pairs)
 
     return {
+        "q_neardup_cross_lsh": neardup_cross_lsh,
         "q_neardup_minhash": neardup_minhash,
         "q_neardup_ngram_lsh": neardup_ngram_lsh,
         "q_simsearch_ivf": simsearch_ivf,
