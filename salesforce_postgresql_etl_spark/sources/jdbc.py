@@ -141,3 +141,77 @@ def upsert_microbatch(
         upsert(batch_df, url, table, key_cols, props, dialect=dialect)
 
     return fn
+
+
+def apply_cdc(
+    changes: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    props: dict,
+    dialect: str = "postgresql",
+) -> None:
+    """Apply a snapshot-diff change feed to a JDBC mirror — the sync
+    write path the reference runs nightly, completed with DELETE
+    propagation (S5's upsert covers insert/update only; soft-deleted
+    source rows must also leave the warehouse, SURVEY §3.1.2).
+
+    ``changes`` is ``operators.cdc.snapshot_diff(include_values=True)``
+    output: key columns + ``change_type`` + the new-side payload. Two
+    server-side statements from ONE staged table: a keyed DELETE for
+    delete rows, then the dialect merge for insert/update rows —
+    idempotent (re-applying the same feed is a no-op), and the network
+    cost is the CHANGE SET, never the table.
+    """
+    if dialect == "postgresql":
+        merge_stmt = _upsert_sql
+    elif dialect == "ansi":
+        merge_stmt = _merge_sql
+    else:
+        raise ValueError(f"unknown dialect: {dialect!r}")
+    payload_cols = [c for c in changes.columns if c != "change_type"]
+    staging = f"{table}__cdc_staging"
+    (
+        changes.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging)
+        .options(**props)
+        .mode("overwrite")
+        .save()
+    )
+    # no DELETE alias (Derby rejects one) — qualify with the table name
+    on = " AND ".join(f"{table}.{_q(c)} = s.{_q(c)}" for c in key_cols)
+    # Spark's JDBC writer quotes lowercase names, and maps StringType to
+    # CLOB on Derby — CLOB won't compare to a literal, so cast first.
+    ct = f"CAST({_q('change_type')} AS VARCHAR(16))"
+    delete_stmt = (
+        f"DELETE FROM {table} WHERE EXISTS (SELECT 1 FROM {staging} s "
+        f"WHERE {on} AND CAST(s.{_q('change_type')} AS VARCHAR(16)) = 'delete')"
+    )
+    upsert_view = (
+        f"SELECT {', '.join(_q(c) for c in payload_cols)} FROM {staging} "
+        f"WHERE {ct} IN ('insert', 'update')"
+    )
+    jvm = changes.sparkSession._jvm
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        stmt = conn.createStatement()
+        stmt.execute(delete_stmt)
+        # stage the insert/update subset under a second name so the
+        # dialect merge templates (table FROM table) apply unchanged;
+        # Derby's CTAS only supports WITH NO DATA, so ansi populates
+        # with a separate INSERT
+        if dialect == "ansi":
+            stmt.execute(f"CREATE TABLE {staging}__iu AS {upsert_view} WITH NO DATA")
+            stmt.execute(f"INSERT INTO {staging}__iu {upsert_view}")
+        else:
+            stmt.execute(f"CREATE TABLE {staging}__iu AS {upsert_view}")
+        stmt.execute(merge_stmt(table, f"{staging}__iu", payload_cols, key_cols))
+        stmt.execute(f"DROP TABLE {staging}__iu")
+        stmt.execute(f"DROP TABLE {staging}")
+        stmt.close()
+    finally:
+        conn.close()

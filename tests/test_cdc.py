@@ -205,3 +205,60 @@ class TestApplyChanges:
 
         with _pytest.raises(ValueError, match="payload"):
             apply_changes(old, feed, ["id"])
+
+
+class TestApplyCdcJdbc:
+    """CDC feed -> JDBC mirror against embedded Derby: the reference's
+    nightly sync write path with DELETE propagation (S5's upsert alone
+    cannot remove soft-deleted rows)."""
+
+    URL = "jdbc:derby:memory:cdcdb;create=true"
+    PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    def _mirror(self, spark, table):
+        df = (
+            spark.read.format("jdbc")
+            .option("url", self.URL)
+            .option("dbtable", table)
+            .options(**self.PROPS)
+            .load()
+        )
+        return {r["id"]: (r["a"], r["b"]) for r in df.collect()}
+
+    def test_feed_applies_with_deletes(self, spark):
+        from salesforce_postgresql_etl_spark.sources.jdbc import (  # noqa: PLC0415
+            apply_cdc,
+            write_full,
+        )
+
+        old = _frame(spark, [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)])
+        new = _frame(spark, [(2, "y", 2.0), (3, "Z", 9.0), (4, "w", 4.0)])
+        write_full(old, self.URL, "mirror_t", self.PROPS)
+
+        feed = snapshot_diff(old, new, ["id"], include_values=True)
+        apply_cdc(feed, self.URL, "mirror_t", ["id"], self.PROPS, dialect="ansi")
+        assert self._mirror(spark, "mirror_t") == {
+            2: ("y", 2.0),
+            3: ("Z", 9.0),
+            4: ("w", 4.0),
+        }
+
+        # idempotency: re-applying the same feed changes nothing
+        apply_cdc(feed, self.URL, "mirror_t", ["id"], self.PROPS, dialect="ansi")
+        assert self._mirror(spark, "mirror_t") == {
+            2: ("y", 2.0),
+            3: ("Z", 9.0),
+            4: ("w", 4.0),
+        }
+
+    def test_empty_feed_noop(self, spark):
+        from salesforce_postgresql_etl_spark.sources.jdbc import (  # noqa: PLC0415
+            apply_cdc,
+            write_full,
+        )
+
+        old = _frame(spark, [(1, "x", 1.0)])
+        write_full(old, self.URL, "mirror_e", self.PROPS)
+        feed = snapshot_diff(old, old, ["id"], include_values=True)
+        apply_cdc(feed, self.URL, "mirror_e", ["id"], self.PROPS, dialect="ansi")
+        assert self._mirror(spark, "mirror_e") == {1: ("x", 1.0)}
