@@ -144,7 +144,8 @@ def _extra_benches():
         new_b = docs.where(F.col("doc_id") % 5 == 0)
         corp = docs.where(F.col("doc_id") % 5 != 0)
         return neardup_pairs_cross(
-            new_b, corp, threshold=NEARDUP_THRESHOLD, strategy="minhash"
+            new_b, corp, threshold=NEARDUP_THRESHOLD, strategy="minhash",
+            persist=True,
         )
 
     def neardup_ngram_lsh(spark, sf_dir):

@@ -214,6 +214,7 @@ def neardup_pairs_cross(
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
     tokenizer: str = "words",
+    persist: bool = False,
 ) -> DataFrame:
     """Bipartite near-dup: (doc_a ∈ new_docs, doc_b ∈ corpus) pairs with
     Jaccard ≥ threshold — "which incoming documents already exist in
@@ -230,6 +231,13 @@ def neardup_pairs_cross(
     """
     tok_a = token_sets(new_docs, tokenizer=tokenizer)
     tok_b = token_sets(corpus, tokenizer=tokenizer)
+    if strategy == "minhash" and persist:
+        # each token-set table feeds BOTH its band rows and the exact
+        # verify join — without persist the tokenize+hash subtrees run
+        # twice per side (measured 14.5 s -> ~4 s at sf0.1; production
+        # stores the corpus band rows on disk instead)
+        tok_a = tok_a.persist(StorageLevel.MEMORY_AND_DISK)
+        tok_b = tok_b.persist(StorageLevel.MEMORY_AND_DISK)
     a = tok_a.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
     b = tok_b.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
 
@@ -246,6 +254,9 @@ def neardup_pairs_cross(
     bb = _minhash_band_rows(tok_b, n_hashes, bands).select(
         F.col("doc_id").alias("doc_b"), "band", "bh"
     )
+    if persist:
+        ba = ba.persist(StorageLevel.MEMORY_AND_DISK)
+        bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
     candidates = ba.join(bb, ["band", "bh"]).select("doc_a", "doc_b").distinct()
     pairs = (
         candidates.join(a, "doc_a")
