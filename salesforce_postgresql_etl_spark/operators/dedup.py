@@ -234,7 +234,7 @@ def neardup_pairs_cross(
     if strategy == "minhash" and persist:
         # each token-set table feeds BOTH its band rows and the exact
         # verify join — without persist the tokenize+hash subtrees run
-        # twice per side (measured 14.5 s -> ~4 s at sf0.1; production
+        # twice per side (measured 14.5 s -> 2.6 s at sf0.1; production
         # stores the corpus band rows on disk instead)
         tok_a = tok_a.persist(StorageLevel.MEMORY_AND_DISK)
         tok_b = tok_b.persist(StorageLevel.MEMORY_AND_DISK)
