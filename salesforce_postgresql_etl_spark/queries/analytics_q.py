@@ -597,3 +597,106 @@ def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / den
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto / cumulative-share analysis (r5d): customers ranked by revenue
+# with each one's cumulative share of the total — "which customers are
+# 80% of revenue". The cumulative sum is NOT a single-partition window:
+# it reuses the distributed prefix-sum machinery (operators/packing.py
+# pack_bins — range repartition + per-partition sums + broadcast
+# offsets; the only single-partition frame is over numPartitions rows),
+# ordered by revenue DESC via the negated exact integer key. Revenue is
+# exact cents (bigint), so cum_share is ONE bigint/bigint IEEE division
+# — bit-deterministic, no rounding.
+# ---------------------------------------------------------------------------
+from ..operators.packing import pack_bins  # noqa: E402
+
+
+@register(
+    "q_pareto",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY o_custkey),
+tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM rev),
+c AS (SELECT o_custkey, rev_cents,
+             CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cents
+      FROM rev)
+SELECT c.o_custkey,
+       CAST(c.rev_cents AS BIGINT) / 100.0 AS revenue,
+       c.cum_cents / CAST(tot.total AS DOUBLE) AS cum_share,
+       c.cum_cents <= CAST(0.8 * tot.total AS BIGINT) AS in_top80
+FROM c CROSS JOIN tot
+""",
+)
+def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * F.lit(100))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    rev = rev.withColumn("neg_rev", -F.col("rev_cents"))
+    packed = pack_bins(
+        rev,
+        order_col="neg_rev",
+        size_col="rev_cents",
+        budget=1 << 60,  # one giant bin: we only want the offsets
+        tiebreak_cols=("o_custkey",),
+    )
+    tot = rev.agg(F.sum("rev_cents").cast("bigint").alias("total"))
+    out = packed.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+        (
+            (F.col("offset") + F.col("rev_cents")).cast("bigint")
+            / F.col("total").cast("double")
+        ).alias("cum_share"),
+        (
+            (F.col("offset") + F.col("rev_cents")).cast("bigint")
+            <= (F.lit(0.8) * F.col("total")).cast("bigint")
+        ).alias("in_top80"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (r5d): COUNT(DISTINCT) cannot run in a
+# sliding window frame in any engine — the standard rewrite reduces
+# events to the (day, user) activity grid once, then joins each day to
+# its trailing 7-day activity and re-counts distinct. At 100 TB the
+# grid is ~users×days (already deduped, ~1000x smaller than events)
+# and the day spine is broadcast-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "q_rolling_distinct",
+    oracle="""
+WITH act AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+                    user_id FROM events),
+days AS (SELECT DISTINCT d FROM act)
+SELECT days.d AS day,
+       CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS users_7d
+FROM days JOIN act
+  ON act.d <= days.d AND act.d > days.d - INTERVAL 7 DAYS
+GROUP BY days.d
+""",
+)
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    act = e.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = act.select(F.col("d").alias("day")).distinct()
+    j = F.broadcast(days).join(
+        act,
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") > F.col("day") - F.expr("INTERVAL 7 DAYS")),
+    )
+    return j.groupBy("day").agg(
+        F.countDistinct("user_id").alias("users_7d")
+    )

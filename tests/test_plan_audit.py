@@ -48,6 +48,7 @@ _SP_ALLOWED = {
     "q_orc_roundtrip": (1, "single-file test write"),
     "q_pmi": (1, "bigram-total scalar (1 row) broadcast back"),
     "q_triangles": (3, "three global 1-row aggregates assembled into one row"),
+    "q_pareto": (2, "offsets frame over numPartitions rows + 1-row total"),
 }
 
 # queries allowed a BroadcastNestedLoopJoin: non-equi band joins with a
@@ -65,6 +66,8 @@ _BNL_ALLOWED = {
     "q_unigram_logprob",  # 1-row corpus totals joined to the vocab frame
     "q_triangles",  # 1-row × 1-row stat assembly crosses (+ brute pair oracle source)
     "q_pmi",  # 1-row bigram total joined to every scored bigram
+    "q_pareto",  # 1-row revenue total joined to every ranked customer
+    "q_rolling_distinct",  # deliberate band join, broadcast day spine (~30 rows)
 }
 
 _ROW_UDF_ALLOWED = {"q_udf_scalar"}  # X1: the slow path, demonstrated once
