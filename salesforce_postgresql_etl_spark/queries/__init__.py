@@ -60,16 +60,20 @@ _MODULES = (
     "ir_q",  # r5d additions (inverted index, BM25) — tail
 )
 # r6 rotation note: after a green r5 run the never-driver-graded set
-# is the tail — extras_q (q_join_bucketed..q_salted_join + the r5d
-# q_quantile_sketch + q_unpivot, 11), textprep_q (3), cdc_q
-# (q_snapshot_diff q_sfid18 q_incremental_agg q_entity_match, 4),
-# analytics_q (q_funnel q_cohort_retention q_twa q_attribution
-# q_mad_outliers q_gap_fill q_asof_forward, 7), ir_q (2), plus
-# q_udtf_rle appended to udfs — 28 never-graded. Those fill slots
-# 1–28 of the r6 window; the remaining ~22 slots go to the freshly-
-# stalest families (windows/scalars/stream_equiv/udfs/sources_q,
-# green r4). relational/aggregates/sampling/corpus/llm will then be
-# r5-green, one round stale — rotate back r7.
+# is the tail — 40 queries: extras_q (9 r5 + q_quantile_sketch +
+# q_unpivot = 11), textprep_q (3), cdc_q (q_snapshot_diff q_sfid18
+# q_incremental_agg q_entity_match = 4), analytics_q (q_funnel
+# q_cohort_retention q_twa q_attribution q_mad_outliers q_gap_fill
+# q_asof_forward q_funnel_horizon q_dedup_keep_best q_triangles
+# q_trend q_pareto q_rolling_distinct = 13), ir_q (q_inverted_index
+# q_bm25 q_pii_scrub q_unigram_logprob q_weighted_sample q_pmi
+# q_neardup_incremental = 7), q_udtf_rle (udfs tail),
+# q_orc_roundtrip (sources_q tail). Those fill slots 1–40 of the r6
+# window; the remaining 10 slots anchor with the freshly-stalest
+# r4-green families (windows first). relational/aggregates/sampling/
+# corpus/llm will then be r5-green, one round stale — rotate back r7;
+# the r4-green remainder (scalars/stream_equiv/udfs/sources_q, ~2
+# rounds stale by r6's end) fronts r7 with them.
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
