@@ -21,10 +21,12 @@ Spark-first design for 100 TB:
 
 Caveat (documented, same doctrine as MinHash/SimHash in dedup.py): two
 rows whose compared columns differ but collide in ``xxhash64`` would be
-reported unchanged. A 64-bit collision on same-key row pairs requires
-~2^32 *changed versions of one key* to reach even-odds; for audit-grade
-exactness pass ``exact=True`` to compare columns directly (wider
-shuffle, zero probability).
+reported unchanged. The fingerprint interleaves a null marker per
+column (r6, advisor fix) so NULL-position swaps are *not* in this
+class — only true 64-bit hash collisions are, and a same-key collision
+requires ~2^32 *changed versions of one key* to reach even-odds. For
+audit-grade exactness pass ``exact=True`` to compare columns directly
+(wider shuffle, zero probability).
 
 ``xxhash64`` rejects MapType columns at analysis time (same restriction
 as operators/skew.py `_row_salt`); exclude map columns from
@@ -82,7 +84,22 @@ def snapshot_diff(
             cols += [F.col(c).alias(f"{side}_{c}") for c in cmp_cols]
         else:
             # Map-side reduction: whole row -> one 8-byte fingerprint.
-            fp = F.xxhash64(*cmp_cols) if cmp_cols else F.lit(0).cast("bigint")
+            # Interleave a per-column null marker (r6, advisor): Spark's
+            # xxhash64 SKIPS null arguments entirely, so without markers
+            # xxhash64(NULL,'x') == xxhash64('x',NULL) == xxhash64('x')
+            # — a value moving between same-typed columns across a NULL
+            # would be reported "unchanged" DETERMINISTICALLY (not a
+            # 2^-64 collision). The isnull marker is never null, so it
+            # always contributes and pins each value to its position.
+            if cmp_cols:
+                parts = [
+                    x
+                    for c in cmp_cols
+                    for x in (F.isnull(c).cast("int"), F.col(c))
+                ]
+                fp = F.xxhash64(*parts)
+            else:
+                fp = F.lit(0).cast("bigint")
             cols.append(fp.alias(f"{side}_fp"))
         return df.select(*cols).withColumn(f"{side}_present", F.lit(True))
 

@@ -630,7 +630,7 @@ c AS (SELECT o_custkey, rev_cents,
 SELECT c.o_custkey,
        CAST(c.rev_cents AS BIGINT) / 100.0 AS revenue,
        c.cum_cents / CAST(tot.total AS DOUBLE) AS cum_share,
-       c.cum_cents <= CAST(0.8 * tot.total AS BIGINT) AS in_top80
+       c.cum_cents * 10 <= tot.total * 8 AS in_top80
 FROM c CROSS JOIN tot
 """,
 )
@@ -657,9 +657,14 @@ def q_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("rev_cents")).cast("bigint")
             / F.col("total").cast("double")
         ).alias("cum_share"),
+        # Exact integer compare (r6, advisor): CAST(0.8*total AS BIGINT)
+        # rounds in DuckDB but truncates in Spark, so a cum_cents landing
+        # exactly on the boundary could flip between engines. cum*10 <=
+        # total*8 is the same predicate with no double cast on either
+        # side (cents*10 is far below bigint range at any realistic SF).
         (
-            (F.col("offset") + F.col("rev_cents")).cast("bigint")
-            <= (F.lit(0.8) * F.col("total")).cast("bigint")
+            (F.col("offset") + F.col("rev_cents")).cast("bigint") * F.lit(10)
+            <= F.col("total") * F.lit(8)
         ).alias("in_top80"),
     )
     return out

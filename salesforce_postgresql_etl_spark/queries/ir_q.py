@@ -307,18 +307,21 @@ def _es_key_sql() -> str:
     oracle=f"""
 SELECT doc_id, n_chars, round({_es_key_sql()}, 6) AS es_key
 FROM documents
-ORDER BY {_es_key_sql()} ASC, doc_id ASC
+ORDER BY round({_es_key_sql()}, 6) ASC, doc_id ASC
 LIMIT {_ES_K}
 """,
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     key = F.expr(_es_key_sql())
+    # Order on the 6dp-QUANTIZED key (r6, advisor): the raw key ends in
+    # ln(), and the top-k cutoff must not depend on cross-engine ln()
+    # bit agreement — selection uses the same rounded surface as the
+    # output column, with doc_id as the total-order tiebreak.
     return (
-        d.select("doc_id", "n_chars", key.alias("k"))
-        .orderBy(F.asc("k"), F.asc("doc_id"))
+        d.select("doc_id", "n_chars", F.round(key, 6).alias("es_key"))
+        .orderBy(F.asc("es_key"), F.asc("doc_id"))
         .limit(_ES_K)
-        .select("doc_id", "n_chars", F.round("k", 6).alias("es_key"))
     )
 
 

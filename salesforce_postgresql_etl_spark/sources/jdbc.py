@@ -52,6 +52,20 @@ def _q(ident: str) -> str:
     return '"' + ident.replace('"', '""') + '"'
 
 
+_TABLE_IDENT = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def _validate_table(table: str) -> str:
+    """Reject table names that are not plain (possibly schema-qualified)
+    identifiers before interpolating them into server-side SQL (r6,
+    advisor). Quoting is not an option here: Spark's JDBC writer creates
+    the staging table from the UNQUOTED dbtable option, so quoting only
+    our statements would split resolution between the two paths."""
+    if not _TABLE_IDENT.match(table):
+        raise ValueError(f"invalid table identifier: {table!r}")
+    return table
+
+
 def _upsert_sql(table: str, staging: str, cols: list[str], key_cols: list[str]) -> str:
     """PostgreSQL dialect: INSERT ... ON CONFLICT DO UPDATE.
 
@@ -104,7 +118,7 @@ def upsert(
         merge_stmt = _merge_sql
     else:
         raise ValueError(f"unknown dialect: {dialect!r}")
-    staging = f"{table}__staging"
+    staging = f"{_validate_table(table)}__staging"
     (
         df.write.format("jdbc")
         .option("url", url)
@@ -170,7 +184,7 @@ def apply_cdc(
     else:
         raise ValueError(f"unknown dialect: {dialect!r}")
     payload_cols = [c for c in changes.columns if c != "change_type"]
-    staging = f"{table}__cdc_staging"
+    staging = f"{_validate_table(table)}__cdc_staging"
     (
         changes.write.format("jdbc")
         .option("url", url)
@@ -199,19 +213,32 @@ def apply_cdc(
     conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         stmt = conn.createStatement()
-        stmt.execute(delete_stmt)
-        # stage the insert/update subset under a second name so the
-        # dialect merge templates (table FROM table) apply unchanged;
-        # Derby's CTAS only supports WITH NO DATA, so ansi populates
-        # with a separate INSERT
-        if dialect == "ansi":
-            stmt.execute(f"CREATE TABLE {staging}__iu AS {upsert_view} WITH NO DATA")
-            stmt.execute(f"INSERT INTO {staging}__iu {upsert_view}")
-        else:
-            stmt.execute(f"CREATE TABLE {staging}__iu AS {upsert_view}")
-        stmt.execute(merge_stmt(table, f"{staging}__iu", payload_cols, key_cols))
-        stmt.execute(f"DROP TABLE {staging}__iu")
-        stmt.execute(f"DROP TABLE {staging}")
-        stmt.close()
+        try:
+            stmt.execute(delete_stmt)
+            # stage the insert/update subset under a second name so the
+            # dialect merge templates (table FROM table) apply unchanged;
+            # Derby's CTAS only supports WITH NO DATA, so ansi populates
+            # with a separate INSERT
+            if dialect == "ansi":
+                stmt.execute(
+                    f"CREATE TABLE {staging}__iu AS {upsert_view} WITH NO DATA"
+                )
+                stmt.execute(f"INSERT INTO {staging}__iu {upsert_view}")
+            else:
+                stmt.execute(f"CREATE TABLE {staging}__iu AS {upsert_view}")
+            stmt.execute(
+                merge_stmt(table, f"{staging}__iu", payload_cols, key_cols)
+            )
+        finally:
+            # Always clear both staging tables (r6, advisor): a failure
+            # mid-sequence must not strand __iu — the next run's CREATE
+            # would fail outright. Absence is fine (e.g. the CREATE
+            # itself was what failed); real merge errors still propagate.
+            for t in (f"{staging}__iu", staging):
+                try:
+                    stmt.execute(f"DROP TABLE {t}")
+                except Exception:
+                    pass
+            stmt.close()
     finally:
         conn.close()

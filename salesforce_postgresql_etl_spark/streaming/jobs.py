@@ -267,6 +267,27 @@ def attribution_join(events: DataFrame, horizon: str = "1 hour",
     )
 
 
+def _read_state_or_none(spark, state_dir: str):
+    """Read a parquet state table, returning None ONLY when the path
+    does not exist yet (the legitimate first-batch case).
+
+    A bare ``except Exception`` here would be a data-loss bug (r6,
+    advisor): any transient IO / corruption error reading accumulated
+    state would silently fall back to "no state" and the subsequent
+    overwrite would destroy the whole history. Real read errors must
+    propagate so the micro-batch fails and the engine retries.
+    """
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(state_dir)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in str(cond) or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
+
+
 def scd2_stream_sink(
     table_dir: str,
     key: str,
@@ -297,12 +318,8 @@ def scd2_stream_sink(
         if ts is None:  # empty micro-batch: no snapshot, no-op
             return
         snap = batch_df.drop(ts_col)
-        try:
-            current = spark.read.parquet(table_dir)
-            have = True
-        except Exception:
-            have = False
-        if not have:
+        current = _read_state_or_none(spark, table_dir)
+        if current is None:
             current = (
                 snap.limit(0)
                 .withColumn("valid_from", F.lit(None).cast("timestamp_ntz"))
@@ -342,11 +359,12 @@ def incremental_agg_stream_sink(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = agg_state(batch_df, group_cols, value_col, scale)
-        try:
-            current = spark.read.parquet(state_dir)
-            merged = merge_agg_state(current, delta, group_cols)
-        except Exception:
-            merged = delta
+        current = _read_state_or_none(spark, state_dir)
+        merged = (
+            merge_agg_state(current, delta, group_cols)
+            if current is not None
+            else delta
+        )
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             state_dir
         )

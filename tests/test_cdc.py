@@ -46,6 +46,18 @@ class TestSnapshotDiff:
             got = _diff_map(snapshot_diff(old, new, ["id"], exact=exact))
             assert got == {1: "update", 2: "update"}, f"exact={exact}"
 
+    def test_null_position_swap_is_update(self, spark):
+        # (r6, advisor) xxhash64 skips NULL args, so without per-column
+        # null markers old=(NULL,'x') vs new=('x',NULL) hashed identical
+        # and the update was silently dropped. Deterministic, not a
+        # 2^-64 collision — pinned here against both paths.
+        schema = "id long, a string, b string"
+        old = spark.createDataFrame([(1, None, "x"), (2, "p", None)], schema)
+        new = spark.createDataFrame([(1, "x", None), (2, None, "p")], schema)
+        for exact in (False, True):
+            got = _diff_map(snapshot_diff(old, new, ["id"], exact=exact))
+            assert got == {1: "update", 2: "update"}, f"exact={exact}"
+
     def test_fingerprint_equals_exact(self, spark):
         old = _frame(
             spark, [(i, f"v{i}", float(i)) for i in range(50)]
@@ -249,6 +261,50 @@ class TestApplyCdcJdbc:
             2: ("y", 2.0),
             3: ("Z", 9.0),
             4: ("w", 4.0),
+        }
+
+    def test_invalid_table_identifier_rejected(self, spark):
+        from salesforce_postgresql_etl_spark.sources.jdbc import (  # noqa: PLC0415
+            apply_cdc,
+            upsert,
+        )
+
+        df = _frame(spark, [(1, "x", 1.0)])
+        feed = df.withColumn("change_type", F.lit("insert"))
+        for bad in ('mirror"; DROP TABLE t --', "a b", "t;x"):
+            with pytest.raises(ValueError, match="identifier"):
+                apply_cdc(feed, self.URL, bad, ["id"], self.PROPS, dialect="ansi")
+            with pytest.raises(ValueError, match="identifier"):
+                upsert(df, self.URL, bad, ["id"], self.PROPS, dialect="ansi")
+
+    def test_failed_apply_cleans_staging(self, spark):
+        # (r6, advisor) a mid-sequence failure must drop BOTH staging
+        # tables, else the next run's CREATE TABLE __iu fails outright.
+        from salesforce_postgresql_etl_spark.sources.jdbc import (  # noqa: PLC0415
+            apply_cdc,
+            write_full,
+        )
+
+        old = _frame(spark, [(1, "x", 1.0), (2, "y", 2.0)])
+        new = _frame(spark, [(1, "X", 1.0), (2, "y", 2.0), (3, "z", 3.0)])
+        write_full(old, self.URL, "mirror_f", self.PROPS)
+
+        feed = snapshot_diff(old, new, ["id"], include_values=True)
+        # Induce a server-side failure AFTER staging is written: a key
+        # column absent from the mirror makes the MERGE's ON clause fail.
+        bad = feed.withColumn("ghost", F.lit(1))
+        with pytest.raises(Exception, match="(?i)ghost|column|syntax"):
+            apply_cdc(
+                bad, self.URL, "mirror_f", ["id", "ghost"], self.PROPS,
+                dialect="ansi",
+            )
+        # The failed run must not strand __cdc_staging/__iu: the good
+        # feed applies cleanly right after.
+        apply_cdc(feed, self.URL, "mirror_f", ["id"], self.PROPS, dialect="ansi")
+        assert self._mirror(spark, "mirror_f") == {
+            1: ("X", 1.0),
+            2: ("y", 2.0),
+            3: ("z", 3.0),
         }
 
     def test_empty_feed_noop(self, spark):

@@ -411,6 +411,32 @@ def test_incremental_agg_stream_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_state_read_errors_propagate(spark, tmp_path):
+    """(r6, advisor) The foreachBatch state sinks must only treat
+    path-not-found as 'no state yet'. A corrupt/unreadable state dir
+    has to RAISE so the micro-batch retries — a bare-except fallback
+    to delta would overwrite and destroy all accumulated history."""
+    import pytest as _pytest
+
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        _read_state_or_none,
+    )
+
+    missing = str(tmp_path / "never_written")
+    assert _read_state_or_none(spark, missing) is None
+
+    corrupt = tmp_path / "corrupt_state"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception):
+        df = _read_state_or_none(spark, str(corrupt))
+        # schema inference may defer the failure to the action
+        if df is not None:
+            df.collect()
+        else:  # pragma: no cover - would be the data-loss bug
+            raise AssertionError("corrupt state dir read as 'no state'")
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     """Restarting an availableNow drain against the SAME checkpoint dir
     must process only files that arrived since the last run — the
