@@ -59,21 +59,77 @@ _MODULES = (
     "analytics_q",  # r5d additions (funnel/cohort/TWA) — tail
     "ir_q",  # r5d additions (inverted index, BM25) — tail
 )
-# r6 rotation note: after a green r5 run the never-driver-graded set
-# is the tail — 40 queries: extras_q (9 r5 + q_quantile_sketch +
-# q_unpivot = 11), textprep_q (3), cdc_q (q_snapshot_diff q_sfid18
-# q_incremental_agg q_entity_match = 4), analytics_q (q_funnel
-# q_cohort_retention q_twa q_attribution q_mad_outliers q_gap_fill
-# q_asof_forward q_funnel_horizon q_dedup_keep_best q_triangles
-# q_trend q_pareto q_rolling_distinct = 13), ir_q (q_inverted_index
-# q_bm25 q_pii_scrub q_unigram_logprob q_weighted_sample q_pmi
-# q_neardup_incremental = 7), q_udtf_rle (udfs tail),
-# q_orc_roundtrip (sources_q tail). Those fill slots 1–40 of the r6
-# window; the remaining 10 slots anchor with the freshly-stalest
-# r4-green families (windows first). relational/aggregates/sampling/
-# corpus/llm will then be r5-green, one round stale — rotate back r7;
-# the r4-green remainder (scalars/stream_equiv/udfs/sources_q, ~2
-# rounds stale by r6's end) fronts r7 with them.
+# r6 rotation (VERDICT r5 #1), executed: module order alone cannot
+# front mid-module queries (q_stream_join lives among r4-graded udfs
+# siblings, q_join_bucketed/q_orc_roundtrip in sources_q), so the
+# window is now an EXPLICIT per-query order: _R6_FRONT pins slots
+# 1–50 — the 41 never-driver-graded r5 additions first (extras_q 10,
+# textprep_q 3, cdc_q 4, analytics_q 13, ir_q 7, plus the 4
+# mid-module ones), anchored by the stalest r4-green family
+# (windows, 9 incl. q_join_asof). Everything after slot 50 keeps
+# module registration order. After a green r6 run every registered
+# query is driver-proven; max staleness is 2 rounds
+# (scalars/stream_equiv/udfs/sources_q + llm tail — front those in
+# r7 with relational/aggregates/sampling/corpus behind them).
+_R6_FRONT = (
+    # extras_q — r5 additions, never graded
+    "q_neardup_clusters",
+    "q_salted_agg",
+    "q_rollup_cascade",
+    "q_reconcile",
+    "q_dq_report",
+    "q_scd2_merge",
+    "q_validate_rules",
+    "q_salted_join",
+    "q_quantile_sketch",
+    "q_unpivot",
+    # textprep_q
+    "q_repetition_filter",
+    "q_chunk_docs",
+    "q_domain_mix",
+    # cdc_q
+    "q_snapshot_diff",
+    "q_sfid18",
+    "q_incremental_agg",
+    "q_entity_match",
+    # analytics_q
+    "q_funnel",
+    "q_cohort_retention",
+    "q_twa",
+    "q_attribution",
+    "q_mad_outliers",
+    "q_gap_fill",
+    "q_asof_forward",
+    "q_triangles",
+    "q_funnel_horizon",
+    "q_dedup_keep_best",
+    "q_trend",
+    "q_pareto",
+    "q_rolling_distinct",
+    # ir_q
+    "q_inverted_index",
+    "q_bm25",
+    "q_pii_scrub",
+    "q_unigram_logprob",
+    "q_weighted_sample",
+    "q_pmi",
+    "q_neardup_incremental",
+    # never-graded r5 additions buried mid-module
+    "q_stream_join",
+    "q_udtf_rle",
+    "q_join_bucketed",
+    "q_orc_roundtrip",
+    # anchors: stalest r4-green family (windows) — slots 42–50
+    "q_win_dedup_latest",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_lag",
+    "q_win_running",
+    "q_win_range",
+    "q_win_firstlast",
+    "q_win_topk_group",
+    "q_join_asof",
+)
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
@@ -93,7 +149,12 @@ def _ensure_loaded() -> None:
 
 def registry() -> dict[str, Query]:
     _ensure_loaded()
-    return dict(_REGISTRY)
+    unknown = [n for n in _R6_FRONT if n not in _REGISTRY]
+    if unknown:  # typo guard: a misspelled front entry would silently
+        raise ValueError(f"_R6_FRONT names not registered: {unknown}")
+    front = {n: _REGISTRY[n] for n in _R6_FRONT}
+    rest = {n: q for n, q in _REGISTRY.items() if n not in front}
+    return {**front, **rest}
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -154,8 +154,12 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closure via the iterative min-label connected components operator;
 # (4) every record (incl. singletons) labeled with its entity id and a
 # canonical-survivor flag. Threshold-transitivity over-merging is a
-# REAL MDM failure mode, demonstrated here deliberately and noted:
-# production scoring adds attribute agreement weights before the CC.
+# REAL MDM failure mode; since r6 the CC stage carries a
+# max_cluster_size tripwire (operators/clustering.py) that raises on
+# chain-merged monster clusters instead of silently fusing them —
+# production scoring escalates to within-cluster re-verify. The cap
+# here is sized to never bind on the fixture (clusters are pairs/
+# triples), so the oracle is unchanged; the wiring is what's proven.
 # At 100 TB: pairs shuffle on the block key (skew-manageable, bounded
 # block sizes), CC shuffles on node id; nothing is ever all-pairs.
 # ---------------------------------------------------------------------------
@@ -163,6 +167,7 @@ from ..operators.clustering import dedup_clusters  # noqa: E402
 
 _ER_BLOCK_LEN = 16
 _ER_MAX_LEV = 1
+_ER_MAX_CLUSTER = 1000
 
 
 @register(
@@ -208,7 +213,9 @@ def q_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.levenshtein("n_a", "n_b") <= _ER_MAX_LEV)
         .select(F.col("k_a").alias("doc_a"), F.col("k_b").alias("doc_b"))
     )
-    clusters = dedup_clusters(pairs).withColumnRenamed("doc_id", "c_custkey")
+    clusters = dedup_clusters(
+        pairs, max_cluster_size=_ER_MAX_CLUSTER
+    ).withColumnRenamed("doc_id", "c_custkey")
     return (
         cust.join(clusters, "c_custkey", "left")
         .select(

@@ -53,6 +53,36 @@ def test_dedup_clusters_canonical(spark):
     assert rows == {3: (3, 1), 5: (3, 0), 7: (3, 0)}
 
 
+def test_max_cluster_size_guard_trips_on_chain_merge(spark):
+    # (r6, VERDICT #4) the entity-resolution over-merge shape: names
+    # A="aaaa", B="aaab", C="aabb" — lev(A,B)=1 and lev(B,C)=1 pass the
+    # <=1 match, but lev(A,C)=2 does NOT; transitive closure still fuses
+    # all three. The guard must convert that into a loud failure.
+    recs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "aabb")], "k long, name string"
+    )
+    a = recs.select(F.col("k").alias("k_a"), F.col("name").alias("n_a"))
+    b = recs.select(F.col("k").alias("k_b"), F.col("name").alias("n_b"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("k_a") < F.col("k_b"))
+        .where(F.levenshtein("n_a", "n_b") <= 1)
+        .select(F.col("k_a").alias("doc_a"), F.col("k_b").alias("doc_b"))
+    )
+    # sanity: only the two chain edges survive the pairwise predicate
+    assert sorted(tuple(r) for r in pairs.collect()) == [(1, 2), (2, 3)]
+    with pytest.raises(ValueError, match="over-merged"):
+        dedup_clusters(pairs, max_cluster_size=2)
+    # uncapped (and cap >= component size): the documented chain-merge
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    got3 = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(pairs, max_cluster_size=3).collect()
+    }
+    assert got3 == got
+
+
 def test_clusters_lsh_equals_brute(spark):
     # The scale path: clusters built from MinHash-LSH pairs must equal
     # clusters built from brute pairs (pair sets proven equal, so this
