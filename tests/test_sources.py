@@ -168,6 +168,60 @@ def test_jdbc_derby_roundtrip(spark):
     assert len(read_back()) == 4
 
 
+def test_jdbc_partitioned_read(spark):
+    """(r6, VERDICT r5 #7) Partitioned parallel JDBC read against
+    embedded Derby: the scan must split into >1 partition (each task
+    its own range-predicated SELECT) and return exactly the rows the
+    single-stream read returns — including rows AT the bounds, which
+    Spark's first/last partitions must cover with open-ended ranges."""
+    from salesforce_postgresql_etl_spark.sources.jdbc import (
+        read_partitioned,
+        write_full,
+    )
+
+    url = "jdbc:derby:memory:pjread;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    base = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 1.5) for i in range(1, 101)],
+        "id bigint, name string, score double",
+    )
+    write_full(base, url, "people", props)
+
+    single = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "people")
+        .options(**props)
+        .load()
+    )
+    assert single.rdd.getNumPartitions() == 1  # the shape being fixed
+
+    part = read_partitioned(spark, url, "people", "id", props, num_partitions=4)
+    assert part.rdd.getNumPartitions() == 4
+    # No partition may be empty on this uniform key, and no row lost
+    # or duplicated at the stride boundaries.
+    sizes = part.rdd.glom().map(len).collect()
+    assert all(s > 0 for s in sizes) and sum(sizes) == 100
+    assert sorted(tuple(r) for r in part.collect()) == sorted(
+        tuple(r) for r in single.collect()
+    )
+
+    # Explicit bounds NARROWER than the data must still return every
+    # row (Spark's outer partitions are open-ended) — the classic
+    # partitioned-read footgun, pinned here.
+    narrow = read_partitioned(
+        spark, url, "people", "id", props, num_partitions=3, lower=20, upper=30
+    )
+    assert narrow.count() == 100
+
+    # Empty table: bounds probe finds no range; falls back to a plain
+    # read rather than erroring.
+    write_full(base.where("id < 0"), url, "nobody", props)
+    empty = read_partitioned(spark, url, "nobody", "id", props, num_partitions=4)
+    assert empty.count() == 0
+
+
 @pytest.mark.skipif(True, reason="no PostgreSQL server/JDBC driver in this environment")
 def test_jdbc_roundtrip(spark):  # pragma: no cover — design-complete, env-gated
     from salesforce_postgresql_etl_spark.sources.jdbc import upsert, write_full
