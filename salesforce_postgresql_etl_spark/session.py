@@ -117,7 +117,13 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (port contention across parallel test
+        # sessions); tests/shuffle_audit.py opts in to read the
+        # /api/v1 stage-metrics endpoint.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "true" else "false",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -183,3 +183,31 @@ def test_cdc_roundtrip_property(spark, olds, news):
     assert sorted(map(tuple, rebuilt.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+_px = st.tuples(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+)
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_bmp_codec_roundtrip_property(w, h, data):
+    # decode(encode(px)) == px for ANY dims (odd widths exercise row
+    # padding) and ANY pixel values — pure Python, no Spark job, so
+    # this one can afford real example counts.
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = [
+        [data.draw(_px) for _ in range(w)] for _ in range(h)
+    ]
+    out = decode_bmp(encode_bmp(px))
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["pixels"] == px
