@@ -7,24 +7,29 @@ one canonical survivor per cluster (near-duplication is transitive in
 effect: A≈B and B≈C must collapse to one kept doc even when A,C were
 never paired).
 
-Algorithm: iterative min-label propagation. Every node starts labeled
-with itself; each round every node takes the min label over itself and
-its neighbors; fixpoint = components labeled by their min member.
+Algorithm: iterative min-label propagation WITH pointer jumping.
+Every node starts labeled with itself; each round every node takes the
+min label over itself and its neighbors, then jumps its label to its
+label's label (path compression — Shiloach/Vishkin-style shortcutting,
+the same accelerant GraphFrames' CC uses). Fixpoint = components
+labeled by their min member.
 
 Scale shape (100 TB story):
 - per round: one shuffle join (edges ⋈ labels on the neighbor id) +
-  one groupBy(node) min — both hash-partitioned on node ids, no
-  driver-side state. The only driver action is the one-row
-  changed-count that decides termination.
-- rounds needed = graph diameter. Near-dup clusters are dense
-  (quasi-cliques), so diameter is tiny — the fixture corpus converges
-  in 2-3 rounds. For adversarial long-chain graphs the upgrade is
+  one groupBy(node) min + one labels ⋈ labels jump join — all
+  hash-partitioned on node ids, no driver-side state. The only driver
+  action is the one-row changed-count that decides termination.
+- rounds needed: ~log(diameter) with jumping. Measured on the sf0.1
+  LSH pair graph (190,925 edges): plain min-label took ELEVEN rounds
+  (9.6 s of loop) — the r5 "quasi-cliques converge in 2-3 rounds"
+  claim did not survive measurement; real near-dup graphs carry
+  chain-of-cluster tails. Pointer jumping collapses the same graph in
+  4 rounds (r6). For adversarial pure-chain graphs the alternative is
   alternating large-star/small-star (Kiveris et al., "Connected
   Components in MapReduce and Beyond", CIKM'14) — implemented below
-  as ``connected_components_star``: same per-round primitives (one
-  hash-partitioned groupBy-min + one join), O(log² n) rounds worst
-  case vs diameter, pytest-proven equivalent to min-label on chains,
-  cliques, and the LSH pair graph.
+  as ``connected_components_star``: same per-round primitives,
+  O(log² n) rounds worst case, pytest-proven equivalent to min-label
+  on chains, cliques, and the LSH pair graph.
 - lineage: each round's labels are eagerly localCheckpoint-ed —
   without truncation the plan doubles every iteration and Catalyst
   analysis, not the data, becomes the bottleneck. On a cluster with an
@@ -80,10 +85,25 @@ def connected_components(
             ),
             "v",
         ).select(F.col("u").alias("node"), F.col("nbr_comp").alias("comp"))
+        mins = (
+            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+        )
+        # Pointer jump (r6): comp ← comp's own label. comp is always a
+        # real node id inside the same component (invariant: starts as
+        # self; min over same-component neighbor labels preserves it;
+        # the jump target's label shares the component too), and labels
+        # are monotone non-increasing toward the component min — so the
+        # jump is sound and doubles propagation reach per round:
+        # measured 11 rounds → 4 on the sf0.1 LSH pair graph. LEFT
+        # join + coalesce is defensive only (inner would do).
+        roots = mins.select(
+            F.col("node").alias("comp"), F.col("comp").alias("root_comp")
+        )
         new_labels = (
-            labels.union(nbr)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            mins.join(roots, "comp", "left")
+            .select(
+                "node", F.coalesce("root_comp", "comp").alias("comp")
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
