@@ -52,6 +52,10 @@ AUDIT = [
     "q_entity_match",
     "q_pack_sequences",
     "q_decontaminate",
+    "q_neardup_minhash",
+    "q_neardup_embed_lsh",
+    "q_neardup_clusters_lsh",
+    "q_simsearch_ivf",
 ]
 
 
@@ -69,11 +73,23 @@ def main() -> None:
     ui = spark.sparkContext.uiWebUrl
     base = f"{ui}/api/v1/applications/{app_id}"
 
-    qs = registry()
+    qs = {n: q.fn for n, q in registry().items()}
+    # The bench-only LSH/ANN scale paths: the byte-level proof that
+    # banding shuffles band keys, never the n^2 pair space.
+    from bench import _extra_benches
+
+    extras = _extra_benches()
+    for extra in (
+        "q_neardup_minhash",
+        "q_neardup_embed_lsh",
+        "q_neardup_clusters_lsh",
+        "q_simsearch_ivf",
+    ):
+        qs[extra] = extras[extra]
     out = {}
     seen: set[int] = set()
     for name in AUDIT:
-        df = qs[name].fn(spark, sf_dir)
+        df = qs[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         stages = _stages(base)
         mine = [s for sid, s in stages.items() if sid not in seen]
