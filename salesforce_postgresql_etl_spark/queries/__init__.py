@@ -71,6 +71,17 @@ _MODULES = (
 # query is driver-proven; max staleness is 2 rounds
 # (scalars/stream_equiv/udfs/sources_q + llm tail — front those in
 # r7 with relational/aggregates/sampling/corpus behind them).
+# r7 rotation DRAFT (to execute at the start of r7, after the r6
+# CORRECTNESS run lands): front the families whose newest green will
+# then be r4 — windows is re-greened by r6's anchor slots, so the
+# stalest set is scalars (11), stream_equiv (6 incl. T9's batch form
+# already green r6 via q_stream_join — keep it out), udfs (5),
+# sources_q (6 graded ones), llm tail (q_text_stats q_token_count
+# q_ngrams q_tfidf q_neardup_ngram brute baseline if desired) ≈ 32
+# slots; fill the remainder with the r5-green families at that point
+# 2 rounds stale (sampling_q, corpus_q, llm_ext head). Keep
+# q_agg_group inside the window per the flagship rule. After a green
+# r7, maximum staleness across all 131 is again ≤2 rounds.
 _R6_FRONT = (
     # extras_q — r5 additions, never graded
     "q_neardup_clusters",
