@@ -24,7 +24,8 @@ Scale shape (100 TB story):
   (9.6 s of loop) — the r5 "quasi-cliques converge in 2-3 rounds"
   claim did not survive measurement; real near-dup graphs carry
   chain-of-cluster tails. Pointer jumping collapses the same graph in
-  4 rounds (r6). For adversarial pure-chain graphs the alternative is
+  6 rounds (r6, SCALE.md "pointer jumping" — the measured number; an
+  earlier draft said 4). For adversarial pure-chain graphs the alternative is
   alternating large-star/small-star (Kiveris et al., "Connected
   Components in MapReduce and Beyond", CIKM'14) — implemented below
   as ``connected_components_star``: same per-round primitives,
@@ -94,7 +95,7 @@ def connected_components(
         # the jump target's label shares the component too), and labels
         # are monotone non-increasing toward the component min — so the
         # jump is sound and doubles propagation reach per round:
-        # measured 11 rounds → 4 on the sf0.1 LSH pair graph. LEFT
+        # measured 11 rounds → 6 on the sf0.1 LSH pair graph. LEFT
         # join + coalesce is defensive only (inner would do).
         roots = mins.select(
             F.col("node").alias("comp"), F.col("comp").alias("root_comp")

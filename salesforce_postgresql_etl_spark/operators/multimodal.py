@@ -122,6 +122,12 @@ def decode_bmp(data: bytes) -> dict:
             f"only 24-bit BI_RGB supported (planes={planes}, bpp={bpp}, "
             f"compression={compression})"
         )
+    if pixel_off < 14 + dib_size:
+        # pixel data cannot start inside the headers; a malformed small
+        # offset would silently decode header bytes as pixels (r7 advice)
+        raise ValueError(
+            f"pixel array offset {pixel_off} inside headers (need >= {14 + dib_size})"
+        )
     top_down = height_raw < 0
     height = -height_raw if top_down else height_raw
     if width <= 0 or height <= 0:
@@ -148,12 +154,22 @@ def _decode_payload(payload: bytes, kind: str, fake: bool):
     from this container, so they stay stubbed behind ``fake``."""
     payload = bytes(payload)
     if kind == "image" and payload[:2] == b"BM":
-        img = decode_bmp(payload)
-        return {
-            "n_bytes": len(payload),
-            "content_id": hashlib.sha256(payload).hexdigest()[:16],
-            "n_pixels": img["width"] * img["height"],  # from actual bytes
-        }
+        try:
+            img = decode_bmp(payload)
+        except ValueError:
+            # 'BM'-prefixed but not a decodable 24-bit BI_RGB BMP
+            # (32-bit, palette, or random bytes). In fake mode the
+            # stub contract is "never raises" — fall through to the
+            # deterministic stub features (r7 advice); strict mode
+            # surfaces the decode error.
+            if not fake:
+                raise
+        else:
+            return {
+                "n_bytes": len(payload),
+                "content_id": hashlib.sha256(payload).hexdigest()[:16],
+                "n_pixels": img["width"] * img["height"],  # from actual bytes
+            }
     if not fake:
         raise NotImplementedError(
             "media decode beyond uncompressed BMP requires image/audio "

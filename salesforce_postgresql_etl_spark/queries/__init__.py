@@ -71,17 +71,78 @@ _MODULES = (
 # query is driver-proven; max staleness is 2 rounds
 # (scalars/stream_equiv/udfs/sources_q + llm tail — front those in
 # r7 with relational/aggregates/sampling/corpus behind them).
-# r7 rotation DRAFT (to execute at the start of r7, after the r6
-# CORRECTNESS run lands): front the families whose newest green will
-# then be r4 — windows is re-greened by r6's anchor slots, so the
-# stalest set is scalars (11), stream_equiv (6 incl. T9's batch form
-# already green r6 via q_stream_join — keep it out), udfs (5),
-# sources_q (6 graded ones), llm tail (q_text_stats q_token_count
-# q_ngrams q_tfidf q_neardup_ngram brute baseline if desired) ≈ 32
-# slots; fill the remainder with the r5-green families at that point
-# 2 rounds stale (sampling_q, corpus_q, llm_ext head). Keep
-# q_agg_group inside the window per the flagship rule. After a green
-# r7, maximum staleness across all 131 is again ≤2 rounds.
+# r7 rotation (VERDICT r6 #1), executed: the window is the 31 queries
+# whose newest green is r4 (computed from CORRECTNESS_r01–r06, not
+# COVERAGE.md: scalars 11, stream_equiv 5, udfs 5, sources_q 5, llm
+# tail 5) fronted first, then the flagship q_agg_group (in-window
+# every round per the flagship rule), then the stalest r5-green
+# families — sampling_q 4, corpus_q 4, llm_ext head 4, llm head 3,
+# relational head 3 — to fill slots 33–50. The 34 remaining r5-green
+# relational/aggregates queries become 2 rounds stale after r7 (the
+# accepted floor at 131 queries / 50 slots) and front in r8. After a
+# green r7 run, max staleness across all 131 is again ≤2 rounds.
+_R7_FRONT = (
+    # scalars — last green r4
+    "q_str_funcs",
+    "q_str_regex",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
+    "q_casts",
+    "q_json_extract",
+    "q_array_funcs",
+    "q_array_lambda",
+    "q_map_funcs",
+    "q_hash",
+    # stream_equiv — last green r4
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_state_running",
+    # udfs — last green r4
+    "q_udf_scalar",
+    "q_pandas_udf",
+    "q_pandas_agg",
+    "q_applyinpandas_normalize",
+    "q_explode",
+    # sources_q — last green r4
+    "q_scan_project",
+    "q_csv_roundtrip",
+    "q_json_roundtrip",
+    "q_parquet_roundtrip",
+    "q_incremental_extract",
+    # llm tail — last green r4
+    "q_text_stats",
+    "q_token_count",
+    "q_ngrams",
+    "q_tfidf",
+    "q_embed_centroid",
+    # flagship — always in-window
+    "q_agg_group",
+    # fill: stalest r5-green families
+    "q_hash_split",
+    "q_stratified_sample",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_lang_id",
+    "q_quality_score",
+    "q_multimodal_features",
+    "q_fingerprint",
+    "q_dedup_simhash",
+    "q_neardup_ngram",
+    "q_neardup_ngram_lsh",
+    "q_neardup_embed",
+    "q_dedup_hash",
+    "q_neardup_jaccard",
+    "q_simsearch_topk",
+    "q_project",
+    "q_filter_pred",
+    "q_join_inner",
+)
+# r6 rotation (VERDICT r5 #1) — executed, 50/50 green in
+# CORRECTNESS_r06; kept for the ledger (COVERAGE.md has per-query
+# rounds). Superseded by _R7_FRONT above.
 _R6_FRONT = (
     # extras_q — r5 additions, never graded
     "q_neardup_clusters",
@@ -160,10 +221,10 @@ def _ensure_loaded() -> None:
 
 def registry() -> dict[str, Query]:
     _ensure_loaded()
-    unknown = [n for n in _R6_FRONT if n not in _REGISTRY]
+    unknown = [n for n in _R7_FRONT if n not in _REGISTRY]
     if unknown:  # typo guard: a misspelled front entry would silently
-        raise ValueError(f"_R6_FRONT names not registered: {unknown}")
-    front = {n: _REGISTRY[n] for n in _R6_FRONT}
+        raise ValueError(f"_R7_FRONT names not registered: {unknown}")
+    front = {n: _REGISTRY[n] for n in _R7_FRONT}
     rest = {n: q for n, q in _REGISTRY.items() if n not in front}
     return {**front, **rest}
 

@@ -171,11 +171,12 @@ def read_partitioned(
     """
     if num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
+    table = _validate_table(table)  # all three read paths below interpolate it
     if lower is None or upper is None:
         bounds_q = (
             f"(SELECT MIN({_q(partition_col)}) AS mn, "
             f"MAX({_q(partition_col)}) AS mx "
-            f"FROM {_validate_table(table)}) AS bounds"
+            f"FROM {table}) AS bounds"
         )
         row = (
             spark.read.format("jdbc")

@@ -283,7 +283,15 @@ def _read_state_or_none(spark, state_dir: str):
         return spark.read.parquet(state_dir)
     except AnalysisException as e:
         cond = getattr(e, "getCondition", lambda: None)() or ""
-        if "PATH_NOT_FOUND" in str(cond) or "PATH_NOT_FOUND" in str(e):
+        # PATH_NOT_FOUND is the Spark>=3.4 error class; older Sparks
+        # raise the same condition with only the "Path does not exist"
+        # message and no class (r7 advice) — match both so the
+        # legitimate first-batch case never hard-fails on version skew.
+        if (
+            "PATH_NOT_FOUND" in str(cond)
+            or "PATH_NOT_FOUND" in str(e)
+            or "Path does not exist" in str(e)
+        ):
             return None
         raise
 

@@ -453,6 +453,38 @@ def test_bmp_roundtrip_pure_python():
     struct.pack_into("<H", bad_bpp, 28, 32)
     with pytest.raises(ValueError, match="24-bit"):
         decode_bmp(bytes(bad_bpp))
+    # (r7 advice) pixel_off pointing INSIDE the headers must raise, not
+    # silently decode header bytes as pixels.
+    bad_off = bytearray(data)
+    struct.pack_into("<I", bad_off, 10, 20)  # < 14 + dib_size(40)
+    with pytest.raises(ValueError, match="inside headers"):
+        decode_bmp(bytes(bad_off))
+
+
+def test_bmp_fake_mode_never_raises_on_bm_garbage():
+    """(r7 advice) fake=True stub contract: a payload that merely STARTS
+    with 'BM' but isn't a decodable 24-bit BMP (e.g. 32-bit, or random
+    bytes) must fall back to the deterministic stub features, not
+    propagate decode_bmp's ValueError; strict mode still surfaces it."""
+    import struct
+
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        _decode_payload,
+        encode_bmp,
+    )
+
+    garbage = b"BM" + bytes(range(64))
+    bmp32 = bytearray(encode_bmp(_gradient_pixels(2, 2)))
+    struct.pack_into("<H", bmp32, 28, 32)  # flip bpp to unsupported 32
+    for payload in (garbage, bytes(bmp32)):
+        feats = _decode_payload(payload, "image", fake=True)
+        assert feats["n_bytes"] == len(payload)
+        assert "n_pixels" not in feats  # stub path, no fabricated decode
+        with pytest.raises(ValueError):
+            _decode_payload(payload, "image", fake=False)
+    # A VALID BMP still decodes for real even in fake mode.
+    good = encode_bmp(_gradient_pixels(2, 2))
+    assert _decode_payload(good, "image", fake=True)["n_pixels"] == 4
 
 
 def test_bmp_real_decode_end_to_end(spark, tmp_path):
