@@ -268,10 +268,41 @@ def _extra_benches():
     }
 
 
+def _rotate_stderr_log() -> None:
+    """(r7, VERDICT r6 #6) Per-round stderr artifact: derive the round
+    number from the newest BENCH_r{N}.json (+1 — the current round's
+    artifact doesn't exist while it runs), remove stale bench_err*
+    logs, and redirect fd 2 to a fresh bench_err_r{N}.log so every
+    warning in it is attributable to the sweep that produced it. dup2
+    on the raw fd happens BEFORE the JVM launches, so Spark/log4j
+    stderr lands there too."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for m in (
+            re.search(r"BENCH_r(\d+)\.json$", p)
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        )
+        if m
+    ]
+    rnd = max(rounds, default=0) + 1
+    for old in glob.glob(os.path.join(REPO, "bench_err*.log")):
+        try:
+            os.unlink(old)
+        except OSError:
+            pass
+    errf = open(os.path.join(REPO, f"bench_err_r{rnd:02d}.log"), "w")
+    sys.stderr.flush()
+    os.dup2(errf.fileno(), 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _rotate_stderr_log()
 
     from salesforce_postgresql_etl_spark.session import get_spark
     from salesforce_postgresql_etl_spark.queries import all_queries
@@ -331,6 +362,13 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
+    # (r7, VERDICT r6 #7) queries_normalized = wall / calibration:
+    # machine-speed-free units, so cross-round comparison needs no
+    # judge arithmetic — compare these directly to a prior round's.
+    normalized = {
+        n: (round(t / calibration_s, 2) if t >= 0 else -1.0)
+        for n, t in times.items()
+    }
     print(
         json.dumps(
             {
@@ -338,6 +376,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_normalized": normalized,
                 "sf": float(sf),
                 "cpus": cpus,
                 "n_queries": len(times),

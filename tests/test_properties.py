@@ -211,3 +211,25 @@ def test_bmp_codec_roundtrip_property(w, h, data):
     out = decode_bmp(encode_bmp(px))
     assert (out["width"], out["height"]) == (w, h)
     assert out["pixels"] == px
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_ppm_codec_roundtrip_property(w, h, data):
+    # (r7, VERDICT r6 #4) same property as the BMP codec for the second
+    # real decoder: decode(encode(px)) == px for any dims and values.
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = [
+        [data.draw(_px) for _ in range(w)] for _ in range(h)
+    ]
+    out = decode_ppm(encode_ppm(px))
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["pixels"] == px
