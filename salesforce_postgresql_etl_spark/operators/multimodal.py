@@ -14,12 +14,14 @@ contract a 100 TB training-data pipeline needs:
   repartitioned by a content-hash bucket before wide ops so one giant
   file can't skew a task.
 
-Decode status (r7): **uncompressed 24-bit BMP and binary PPM (P6)
-decode for real** — pure-Python parsers (``decode_bmp`` /
-``decode_ppm``, no libraries needed) that ``_decode_payload``
-auto-dispatches to on the ``BM`` / ``P6`` magics, so two image
-formats run actual bytes → actual pixels end-to-end (VERDICT r5 #5,
-r6 #4). Compressed formats (PNG/JPEG/audio/video codecs) remain STUBBED:
+Decode status (r7): **uncompressed 24-bit BMP, binary PPM (P6), and
+16-bit PCM WAV decode for real** — pure-Python parsers
+(``decode_bmp`` / ``decode_ppm`` / ``decode_wav``, no libraries
+needed) that ``_decode_payload`` auto-dispatches to on the ``BM`` /
+``P6`` / ``RIFF`` magics, so two image formats and one audio format
+run actual bytes → actual pixels/frames end-to-end (VERDICT r5 #5,
+r6 #4). Compressed formats (PNG/JPEG/compressed-audio/video codecs)
+remain STUBBED:
 ``_decode_payload`` raises ``NotImplementedError`` for them unless
 ``fake=True``, in which case it derives deterministic pseudo-features
 (size, sha256-prefix, parsed dims from metadata). Everything around
@@ -71,6 +73,9 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("content_id", StringType(), False),
         StructField("n_pixels", LongType(), True),
+        # r7: sample-frame count from a REAL PCM WAV decode (null for
+        # non-audio rows and for audio payloads that aren't RIFF/WAVE)
+        StructField("n_samples", LongType(), True),
     ]
 )
 
@@ -220,12 +225,105 @@ def decode_ppm(data: bytes) -> dict:
     return {"width": width, "height": height, "pixels": rows}
 
 
+def encode_wav(
+    samples: list[int], sample_rate: int = 16000, n_channels: int = 1
+) -> bytes:
+    """Write a 16-bit PCM RIFF/WAVE file. ``samples`` is the
+    interleaved sample list (len must divide by n_channels).
+    Fixture-grade counterpart of ``decode_wav``."""
+    if n_channels < 1 or len(samples) % n_channels:
+        raise ValueError("samples must interleave n_channels evenly")
+    block_align = n_channels * 2
+    byte_rate = sample_rate * block_align
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        block_align, 16,
+    )
+    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
+    if len(data) % 2:  # RIFF chunks are word-aligned
+        body += b"\x00"
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_wav(data: bytes) -> dict:
+    """Decode a 16-bit PCM RIFF/WAVE payload with pure Python (r7 —
+    the first real AUDIO decoder, same role as ``decode_bmp`` /
+    ``decode_ppm`` for images). Walks the chunk list properly (skips
+    unknown chunks like LIST/INFO, honors the odd-size padding byte),
+    and returns ``{"sample_rate", "n_channels", "n_samples",
+    "samples"}`` — n_samples counts FRAMES (interleaved sample groups),
+    samples is the interleaved int list. Only uncompressed 16-bit PCM
+    (audio format 1) is supported; IEEE-float/ADPCM/24-bit raise —
+    honest scope, not silent garbage."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(data)
+    fmt_info = None
+    frames = None
+    samples = None
+    while pos + 8 <= n:
+        cid, csize = struct.unpack_from("<4sI", data, pos)
+        pos += 8
+        if pos + csize > n:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError(f"fmt chunk too short ({csize})")
+            audio_format, n_channels, sample_rate, _, block_align, bits = (
+                struct.unpack_from("<HHIIHH", data, pos)
+            )
+            if audio_format != 1 or bits != 16:
+                raise ValueError(
+                    f"only 16-bit PCM supported (format={audio_format}, "
+                    f"bits={bits})"
+                )
+            if n_channels < 1 or block_align != n_channels * 2:
+                raise ValueError(
+                    f"inconsistent fmt (channels={n_channels}, "
+                    f"block_align={block_align})"
+                )
+            fmt_info = (sample_rate, n_channels, block_align)
+        elif cid == b"data":
+            if fmt_info is None:
+                raise ValueError("data chunk before fmt chunk")
+            block_align = fmt_info[2]
+            if csize % block_align:
+                raise ValueError("data size not frame-aligned")
+            frames = csize // block_align
+            samples = [
+                struct.unpack_from("<h", data, pos + 2 * i)[0]
+                for i in range(csize // 2)
+            ]
+        pos += csize + (csize & 1)  # word-align to the next chunk
+    if fmt_info is None or frames is None:
+        raise ValueError("missing fmt or data chunk")
+    return {
+        "sample_rate": fmt_info[0],
+        "n_channels": fmt_info[1],
+        "n_samples": frames,
+        "samples": samples,
+    }
+
+
 def _decode_payload(payload: bytes, kind: str, fake: bool):
-    """Per-payload decode. BMP and PPM(P6) images decode for REAL
-    (pure-Python parsers, no libraries); other formats need codec
-    libraries absent from this container, so they stay stubbed behind
-    ``fake``."""
+    """Per-payload decode. BMP and PPM(P6) images and PCM WAV audio
+    decode for REAL (pure-Python parsers, no libraries); other formats
+    need codec libraries absent from this container, so they stay
+    stubbed behind ``fake``."""
     payload = bytes(payload)
+    if kind == "audio" and payload[:4] == b"RIFF":
+        try:
+            wav = decode_wav(payload)
+        except ValueError:
+            if not fake:  # same contract as BMP/PPM
+                raise
+        else:
+            return {
+                "n_bytes": len(payload),
+                "content_id": hashlib.sha256(payload).hexdigest()[:16],
+                "n_samples": wav["n_samples"],  # from actual frames
+            }
     if kind == "image" and payload[:2] == b"P6":
         try:
             img = decode_ppm(payload)
@@ -283,7 +381,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             ]
             npix = []
             for f, m in zip(feats, pdf["meta"]):
-                if "n_pixels" in f:  # real decode (BMP) beats metadata
+                if "n_pixels" in f:  # real decode (BMP/PPM) beats metadata
                     npix.append(f["n_pixels"])
                 elif m is not None and m.get("width") is not None and m.get("height") is not None:
                     npix.append(m["width"] * m["height"])
@@ -296,6 +394,9 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     "n_bytes": [f["n_bytes"] for f in feats],
                     "content_id": [f["content_id"] for f in feats],
                     "n_pixels": npix,
+                    # real WAV decode only — the metadata sidecar has no
+                    # frame count to fall back on
+                    "n_samples": [f.get("n_samples") for f in feats],
                 }
             )
             yield out

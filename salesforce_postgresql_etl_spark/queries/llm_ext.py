@@ -348,11 +348,12 @@ SELECT kind,
        CAST(n AS BIGINT) AS n,
        CAST(total_bytes AS BIGINT) AS total_bytes,
        CAST(n_distinct AS BIGINT) AS n_distinct,
-       CAST(total_pixels AS BIGINT) AS total_pixels
-FROM (VALUES ('audio', 21, 1328, 21, 0),
-             ('image', 22, 1392, 22, 1672),
-             ('video', 21, 1344, 21, 0))
-     AS t(kind, n, total_bytes, n_distinct, total_pixels)
+       CAST(total_pixels AS BIGINT) AS total_pixels,
+       CAST(total_samples AS BIGINT) AS total_samples
+FROM (VALUES ('audio', 21, 1328, 21, 0, 0),
+             ('image', 22, 1392, 22, 1672, 0),
+             ('video', 21, 1344, 21, 0, 0))
+     AS t(kind, n, total_bytes, n_distinct, total_pixels, total_samples)
 """
 
 
@@ -362,11 +363,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_media(spark, n=64).repartition(4, "kind")
     feats = extract_features(media, fake=True)
+    # total_samples is 0 across the fixture: synth payloads are raw
+    # bytes, not RIFF/WAVE, so the real WAV decode (r7) never fires
+    # here — tests/test_llm_ops.py exercises it with real WAV payloads.
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
         F.countDistinct("content_id").alias("n_distinct"),
         F.sum(F.coalesce(F.col("n_pixels"), F.lit(0))).alias("total_pixels"),
+        F.sum(F.coalesce(F.col("n_samples"), F.lit(0))).alias("total_samples"),
     )
 
 

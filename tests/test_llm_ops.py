@@ -521,6 +521,96 @@ def test_ppm_dispatch_in_decode_payload():
         _decode_payload(garbage, "image", fake=False)
 
 
+def test_wav_roundtrip_and_chunk_walk():
+    """(r7) The first real AUDIO decoder: 16-bit PCM round-trip, proper
+    chunk walking (unknown LIST chunk skipped, odd-size padding byte
+    honored), stereo frame counting, and honest-scope rejections."""
+    import struct
+
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    mono = [0, 1, -1, 32767, -32768, 123, -4567]
+    data = encode_wav(mono, sample_rate=8000)
+    wav = decode_wav(data)
+    assert wav == {
+        "sample_rate": 8000, "n_channels": 1, "n_samples": 7, "samples": mono,
+    }
+
+    # Stereo: n_samples counts FRAMES, not interleaved values.
+    stereo = [10, -10, 20, -20, 30, -30]
+    w2 = decode_wav(encode_wav(stereo, sample_rate=44100, n_channels=2))
+    assert (w2["n_channels"], w2["n_samples"], w2["samples"]) == (2, 3, stereo)
+
+    # An unknown odd-sized chunk between fmt and data must be skipped
+    # via the word-alignment padding rule.
+    fmt_end = 12 + 8 + 16
+    inject = struct.pack("<4sI", b"LIST", 3) + b"abc\x00"
+    spliced = data[:fmt_end] + inject + data[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced)["samples"] == mono
+
+    # Honest scope: rejections, never garbage.
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(data[:-3])
+    bad_fmt = bytearray(data)
+    struct.pack_into("<H", bad_fmt, 20, 3)  # IEEE float
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        decode_wav(bytes(bad_fmt))
+    bad_bits = bytearray(data)
+    struct.pack_into("<H", bad_bits, 34, 24)
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        decode_wav(bytes(bad_bits))
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        decode_wav(data[:12])
+    with pytest.raises(ValueError, match="samples must interleave"):
+        encode_wav([1, 2, 3], n_channels=2)
+
+
+def test_wav_dispatch_and_real_decode_end_to_end(spark, tmp_path):
+    """RIFF audio payloads decode for REAL through the full Spark path:
+    n_samples comes from the actual data chunk; RIFF-prefixed garbage
+    keeps the stub contract (fake never raises, strict does); images
+    and non-RIFF audio leave n_samples null."""
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_payload,
+        encode_bmp,
+        encode_wav,
+    )
+
+    good = encode_wav(list(range(-50, 50)), sample_rate=16000)
+    for fake in (True, False):
+        assert _decode_payload(good, "audio", fake)["n_samples"] == 100
+    garbage = b"RIFF" + bytes(range(64))
+    assert "n_samples" not in _decode_payload(garbage, "audio", fake=True)
+    with pytest.raises(ValueError):
+        _decode_payload(garbage, "audio", fake=False)
+    # kind gates the dispatch: a WAV payload on an image row is not
+    # decoded as audio.
+    assert "n_samples" not in _decode_payload(good, "image", fake=True)
+
+    rows = [
+        (0, "audio", good, (None, None, 999, "wav")),  # lying meta rate
+        (1, "audio", bytes(32), (None, None, 16000, "pcm")),
+        (2, "image", encode_bmp(_gradient_pixels(3, 2)), (None, None, None, "bmp")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    p = str(tmp_path / "wav.parquet")
+    media.write.parquet(p)
+    feats = {
+        r.media_id: r
+        for r in extract_features(spark.read.parquet(p), fake=True).collect()
+    }
+    assert feats[0].n_samples == 100  # from actual frames, meta ignored
+    assert feats[1].n_samples is None  # non-RIFF audio: stub path
+    assert feats[2].n_samples is None and feats[2].n_pixels == 6
+
+
 def test_bmp_fake_mode_never_raises_on_bm_garbage():
     """(r7 advice) fake=True stub contract: a payload that merely STARTS
     with 'BM' but isn't a decodable 24-bit BMP (e.g. 32-bit, or random

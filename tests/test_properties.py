@@ -233,3 +233,29 @@ def test_ppm_codec_roundtrip_property(w, h, data):
     out = decode_ppm(encode_ppm(px))
     assert (out["width"], out["height"]) == (w, h)
     assert out["pixels"] == px
+
+
+@given(
+    n_channels=st.integers(1, 3),
+    n_frames=st.integers(0, 40),
+    sample_rate=st.sampled_from([8000, 16000, 44100]),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_wav_codec_roundtrip_property(n_channels, n_frames, sample_rate, data):
+    # (r7) decode(encode(s)) == s for any channel count, frame count
+    # (including zero), rate, and full-range int16 values.
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [
+        data.draw(st.integers(-32768, 32767))
+        for _ in range(n_frames * n_channels)
+    ]
+    out = decode_wav(encode_wav(samples, sample_rate, n_channels))
+    assert out["samples"] == samples
+    assert out["n_samples"] == n_frames
+    assert out["n_channels"] == n_channels
+    assert out["sample_rate"] == sample_rate
