@@ -362,11 +362,19 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
-    # (r7, VERDICT r6 #7) queries_normalized = wall / calibration:
+    # (r7) A second calibration AFTER the sweep: the r6→r7 comparison
+    # showed a start-only calibration misleads — r6's was taken at
+    # loadavg 2.86 (inflated, flattering that round's normalized
+    # numbers), r7's at 0.63. Ambient conditions during the sweep are
+    # bracketed by the two measurements; queries_normalized divides by
+    # their MEAN.
+    calibration_end_s = round(min(calibrate() for _ in range(3)), 4)
+    cal_mid = (calibration_s + calibration_end_s) / 2
+    # (r7, VERDICT r6 #7) queries_normalized = wall / mean calibration:
     # machine-speed-free units, so cross-round comparison needs no
     # judge arithmetic — compare these directly to a prior round's.
     normalized = {
-        n: (round(t / calibration_s, 2) if t >= 0 else -1.0)
+        n: (round(t / cal_mid, 2) if t >= 0 else -1.0)
         for n, t in times.items()
     }
     print(
@@ -381,6 +389,7 @@ def main() -> None:
                 "cpus": cpus,
                 "n_queries": len(times),
                 "calibration_range_sum_s": calibration_s,
+                "calibration_range_sum_end_s": calibration_end_s,
                 "loadavg_1m_start": round(loadavg_start, 2),
                 "loadavg_1m_end": round(os.getloadavg()[0], 2),
             }

@@ -302,8 +302,10 @@ def connected_components_contract(
 
     Measured vs the pointer-jumping label-prop loop on the sf0.1
     MinHash-LSH pair graph (190,925 pairs): see SCALE.md "r7: CC by
-    contraction" — the edge list shrinks 381,850 → ~1.5k after one
-    contraction, and the loop's cost concentrates in round 1.
+    contraction" — the one-directional edge list shrinks 190,925 →
+    ~hundreds after one contraction, and the loop's cost concentrates
+    in round 1 (which reads the caller's pair list as-is; there is no
+    symmetric-edge materialization at all).
 
     Job-overhead discipline (the loop's data is tiny after round 1, so
     scheduling fixed costs dominate locally and round-trips dominate on
@@ -321,12 +323,16 @@ def connected_components_contract(
         F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v")
     ).localCheckpoint(eager=True)
     sym = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    edges = (
-        sym.where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    in_parts = max(edges.rdd.getNumPartitions(), 1)
+    in_parts = max(base.rdd.getNumPartitions(), 1)
+    # The loop's edge list stays ONE-DIRECTIONAL: the per-round min is
+    # computed over a lazy two-scan union of the checkpointed frame
+    # (symmetrizing inside the aggregation), and contracted edges are
+    # re-canonicalized with greatest/least. This removes the 2×-row
+    # symmetric materialization entirely — round 1 reads the caller's
+    # pair list as-is (dups and self-loops are harmless: min() ignores
+    # dups, a self-loop contributes its own id, and relabeled
+    # self-loops drop at the lu != lv filter).
+    edges = base
     rounds = 0
     mappings: list[DataFrame] = []
     for _ in range(max_iters):
@@ -335,8 +341,11 @@ def connected_components_contract(
             break
         rounds += 1
         nparts = max(1, min(in_parts, -(-n_edges // _LOOP_ROWS_PER_PARTITION)))
+        un = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
         l = (
-            edges.groupBy("u")
+            un.groupBy("u")
             .agg(F.min("v").alias("mv"))
             .select("u", F.least("u", "mv").alias("l"))
             .coalesce(nparts)
@@ -349,11 +358,12 @@ def connected_components_contract(
         # A SINGLE jump is not enough: on a chain it only shifts labels
         # by a constant, leaving Θ(n) contraction rounds. The jump
         # target l(u) is a current-graph node, hence in l's own domain
-        # (symmetric edges ⇒ every node appears as u); LEFT + coalesce
-        # is defensive only. Each squaring is a self-join of the
-        # (node, label) MAPPING table — the edge list is never touched —
-        # and carries its own stability flag, so the convergence probe
-        # is a limit-1 scan of the checkpointed result, not a join job.
+        # (the symmetrized aggregation puts every endpoint in u); LEFT +
+        # coalesce is defensive only. Each squaring is a self-join of
+        # the (node, label) MAPPING table — the edge list is never
+        # touched — and carries its own stability flag, so the
+        # convergence probe is a limit-1 scan of the checkpointed
+        # result, not a join job.
         for _ in range(64):
             l2 = (
                 l.join(
@@ -382,7 +392,10 @@ def connected_components_contract(
                 l.select(F.col("u").alias("v"), F.col("l").alias("lv")), "v"
             )
             .where(F.col("lu") != F.col("lv"))
-            .select(F.col("lu").alias("u"), F.col("lv").alias("v"))
+            .select(
+                F.greatest("lu", "lv").alias("u"),
+                F.least("lu", "lv").alias("v"),
+            )
             .distinct()
             .coalesce(nparts)
             .localCheckpoint(eager=True)
