@@ -334,12 +334,14 @@ def connected_components_contract(
     # self-loops drop at the lu != lv filter).
     edges = base
     rounds = 0
+    edge_counts: list[int] = []
     mappings: list[DataFrame] = []
     for _ in range(max_iters):
         n_edges = edges.count()
         if n_edges == 0:
             break
         rounds += 1
+        edge_counts.append(n_edges)
         nparts = max(1, min(in_parts, -(-n_edges // _LOOP_ROWS_PER_PARTITION)))
         un = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -407,6 +409,8 @@ def connected_components_contract(
         )
     if stats is not None:
         stats["rounds"] = rounds
+        # free telemetry — the counts double as the termination checks
+        stats["edges_per_round"] = edge_counts
     # Compose the per-round mappings once: node → l₁ → l₂ → … → lₖ.
     # Every input is checkpointed, so this is k small left-joins in ONE
     # plan/action instead of k checkpointed folds inside the loop. A
