@@ -94,7 +94,9 @@ def _exact_jaccard(pairs: DataFrame, threshold: float) -> DataFrame:
 
 
 def _minhash_band_rows(tok: DataFrame, n_hashes: int, bands: int) -> DataFrame:
-    """(doc_id, band, bh) LSH bucket rows from (doc_id, t) token sets.
+    """(doc_id, band, bh, sz) LSH bucket rows from (doc_id, t) token
+    sets; ``sz`` is the token-set size, aggregated in the SAME
+    partial+final pass as the signature mins (free map-side).
 
     MinHash signature: hash each token ONCE (string → bigint), then
     derive the i-th hash family as xxhash64(i, h0) — a long-pair hash,
@@ -109,6 +111,10 @@ def _minhash_band_rows(tok: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     what makes cross-corpus candidates comparable: the hash families
     are input-independent, so a doc bucketizes identically whichever
     side it sits on.
+
+    The size column exists for the candidate-stage prefilter (r7): it
+    costs 8 bytes per band row and saves fetching the token arrays of
+    provably-impossible pairs — see ``_size_compatible``.
     """
     r = n_hashes // bands
     exploded = tok.select("doc_id", F.explode("t").alias("tok"))
@@ -117,9 +123,12 @@ def _minhash_band_rows(tok: DataFrame, n_hashes: int, bands: int) -> DataFrame:
         F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    sigs = base.groupBy("doc_id").agg(*sig_cols)
+    sigs = base.groupBy("doc_id").agg(
+        *sig_cols, F.count(F.lit(1)).alias("sz")
+    )
     return sigs.select(
         "doc_id",
+        "sz",
         F.explode(
             F.array(
                 *[
@@ -133,7 +142,26 @@ def _minhash_band_rows(tok: DataFrame, n_hashes: int, bands: int) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
+    ).select("doc_id", "b.band", "b.bh", "sz")
+
+
+def _size_compatible(threshold: float) -> Column:
+    """LOSSLESS candidate prefilter (r7): J(A,B) = |A∩B|/|A∪B| ≤
+    min(|A|,|B|)/max(|A|,|B|) always (the intersection is at most the
+    smaller set, the union at least the larger), so a pair can only
+    verify at Jaccard ≥ θ if its set sizes are within a θ ratio. Two
+    ints already riding the band rows decide that BEFORE the token
+    arrays are fetched — measured at sf0.1/θ=0.95 the bucket join's
+    4.26M candidates carry ~95% false positives, most of which die
+    here. Rounding is monotone, so the double compare can never drop a
+    pair the (identical-arithmetic) verify would keep; the exact
+    verify is unchanged and remains the correctness gate.
+    """
+    return (
+        F.least("sz_a", "sz_b").cast("double")
+        / F.greatest("sz_a", "sz_b").cast("double")
+        >= threshold
+    )
 
 
 def neardup_pairs(
@@ -188,12 +216,15 @@ def neardup_pairs(
         band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
 
     ca = band_rows.select(
-        F.col("doc_id").alias("doc_a"), "band", "bh"
+        F.col("doc_id").alias("doc_a"), "band", "bh", F.col("sz").alias("sz_a")
     )
-    cb = band_rows.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    cb = band_rows.select(
+        F.col("doc_id").alias("doc_b"), "band", "bh", F.col("sz").alias("sz_b")
+    )
     candidates = (
         ca.join(cb, ["band", "bh"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .where(_size_compatible(threshold))  # lossless — see docstring
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -249,15 +280,20 @@ def neardup_pairs_cross(
         raise ValueError("n_hashes must be divisible by bands")
 
     ba = _minhash_band_rows(tok_a, n_hashes, bands).select(
-        F.col("doc_id").alias("doc_a"), "band", "bh"
+        F.col("doc_id").alias("doc_a"), "band", "bh", F.col("sz").alias("sz_a")
     )
     bb = _minhash_band_rows(tok_b, n_hashes, bands).select(
-        F.col("doc_id").alias("doc_b"), "band", "bh"
+        F.col("doc_id").alias("doc_b"), "band", "bh", F.col("sz").alias("sz_b")
     )
     if persist:
         ba = ba.persist(StorageLevel.MEMORY_AND_DISK)
         bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
-    candidates = ba.join(bb, ["band", "bh"]).select("doc_a", "doc_b").distinct()
+    candidates = (
+        ba.join(bb, ["band", "bh"])
+        .where(_size_compatible(threshold))  # lossless — see docstring
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     pairs = (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")
