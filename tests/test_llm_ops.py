@@ -461,7 +461,30 @@ def test_bmp_roundtrip_pure_python():
         decode_bmp(bytes(bad_off))
 
 
-def test_ppm_roundtrip_and_header_grammar():
+def test_size_prefilter_boundary_is_lossless(spark):
+    """(r7c) The candidate-stage size-ratio prefilter must keep every
+    pair the exact verify could keep: at θ=0.95, sizes 19/20 sit
+    EXACTLY on the min/max = 0.95 boundary (kept — a J=0.95 pair can
+    have these sizes), 18/20 = 0.9 is provably impossible (dropped).
+    Pins the monotone-rounding claim in _size_compatible's docstring."""
+    from salesforce_postgresql_etl_spark.operators.dedup import _size_compatible
+
+    rows = spark.createDataFrame(
+        [(19, 20), (20, 19), (18, 20), (20, 20), (1, 1)],
+        "sz_a int, sz_b int",
+    )
+    got = [r.keep for r in rows.select(_size_compatible(0.95).alias("keep")).collect()]
+    assert got == [True, True, False, True, True]
+    # And end-to-end: a true boundary pair survives the minhash path.
+    # Docs share 19 tokens of a 20-token union → J = 0.95 exactly.
+    common = " ".join(f"w{i}" for i in range(19))
+    docs = spark.createDataFrame(
+        [(1, common + " only1"), (2, common)], "doc_id long, text string"
+    )
+    pairs = neardup_pairs(docs, threshold=0.95, strategy="minhash").collect()
+    brute = neardup_pairs(docs, threshold=0.95, strategy="brute").collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, brute))
+    assert len(pairs) == 1 and abs(pairs[0].jaccard - 0.95) < 1e-12
     """(r7, VERDICT r6 #4) The second real decoder: P6 round-trip plus
     the header grammar corners — comments anywhere in the header,
     multi-byte whitespace runs, and the honest-scope rejections."""
