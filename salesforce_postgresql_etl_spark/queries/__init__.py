@@ -81,6 +81,23 @@ _MODULES = (
 # relational/aggregates queries become 2 rounds stale after r7 (the
 # accepted floor at 131 queries / 50 slots) and front in r8. After a
 # green r7 run, max staleness across all 131 is again ≤2 rounds.
+# r8 rotation DRAFT (execute at the start of r8, after the r7
+# CORRECTNESS run lands): front the 31 queries whose newest green
+# will then be r5 — the relational bulk (q_filter_in q_filter_like
+# q_filter_between q_filter_null q_join_star q_join_left q_join_full
+# q_join_semi q_join_anti q_join_range q_join_cross q_join_self
+# q_agg_global q_agg_countdistinct q_agg_approx_cd q_agg_having
+# q_sort q_topk q_limit_offset q_union_all q_union_distinct
+# q_intersect q_except, 23) and aggregates (q_agg_groupingsets
+# q_agg_rollup q_agg_cube q_pivot q_agg_stats q_agg_median
+# q_agg_arrays q_agg_maxby, 8); keep q_agg_group in-window per the
+# flagship rule (32 slots); fill the remaining 18 with the stalest
+# r6-green families (extras_q head: q_neardup_clusters q_salted_agg
+# q_rollup_cascade q_reconcile q_dq_report q_scd2_merge
+# q_validate_rules q_salted_join q_quantile_sketch q_unpivot;
+# textprep_q: q_repetition_filter q_chunk_docs q_domain_mix; cdc_q:
+# q_snapshot_diff q_sfid18 q_incremental_agg q_entity_match; +1
+# analytics_q head). After a green r8, max staleness is again ≤2.
 _R7_FRONT = (
     # scalars — last green r4
     "q_str_funcs",
