@@ -496,15 +496,20 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
     for rounds in range(1, max_iters + 1):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        changed = (
-            new_edges.exceptAll(edges)
-            .union(edges.exceptAll(new_edges))
-            .limit(1)
-            .count()
-        )
-        edges = new_edges
+        # Convergence = edge-set equality. Count-gate the expensive
+        # check (r7): counts come from cheap scans of the checkpointed
+        # frames; only when they match can the sets be equal, and then
+        # ONE exceptAll suffices — _canon output is a distinct SET, so
+        # new ⊆ old with |new| = |old| forces new = old. The old
+        # two-sided exceptAll ran every round.
+        n_new = new_edges.count()
+        changed = 1
+        if n_new == n_edges:
+            changed = new_edges.exceptAll(edges).limit(1).count()
+        edges, n_edges = new_edges, n_new
         if changed == 0:
             break
     else:

@@ -263,3 +263,19 @@ def test_contract_equals_labelprop_on_lsh_pairs(spark):
     assert _comp_map(connected_components_contract(pairs)) == _comp_map(
         connected_components(pairs)
     )
+
+
+def test_contract_edge_telemetry_shrinks_geometrically(spark):
+    # stats['edges_per_round'] is the scale claim as data: round 1 is
+    # the input pair count; every later round must be a small fraction
+    # of its predecessor (measured 190,925 -> 229 -> 2 at sf0.1; the
+    # tiny fixture shows the same shape).
+    docs = load(spark, SF_DIR_TINY, "documents")
+    pairs = neardup_pairs(docs, threshold=0.5)
+    stats = {}
+    connected_components_contract(pairs, stats=stats).collect()
+    counts = stats["edges_per_round"]
+    assert counts[0] == pairs.count()
+    assert len(counts) == stats["rounds"]
+    for prev, cur in zip(counts, counts[1:]):
+        assert cur < prev / 2  # geometric, not additive, shrinkage
