@@ -560,6 +560,7 @@ def test_wav_roundtrip_and_chunk_walk():
     wav = decode_wav(data)
     assert wav == {
         "sample_rate": 8000, "n_channels": 1, "n_samples": 7, "samples": mono,
+        "codec": "pcm16",
     }
 
     # Stereo: n_samples counts FRAMES, not interleaved values.
@@ -592,6 +593,212 @@ def test_wav_roundtrip_and_chunk_walk():
         decode_wav(data[:12])
     with pytest.raises(ValueError, match="samples must interleave"):
         encode_wav([1, 2, 3], n_channels=2)
+
+
+def test_png_decode_pure_python():
+    """(r7) The first COMPRESSED-image decoder — 8-bit PNG via stdlib
+    zlib, no external libraries. Covers: RGB round-trip under every row
+    filter (0–4 and the mixed cycle), hand-built grayscale / RGBA /
+    Sub-filtered rasters, IDAT split across chunks, and the honest-scope
+    rejections (magic, CRC, palette, 16-bit, interlace, corrupt deflate,
+    scanline-length mismatch)."""
+    import struct
+    import zlib
+
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_png,
+        encode_png,
+    )
+
+    px = _gradient_pixels(5, 4)
+    for ft in (0, 1, 2, 3, 4, "mixed"):
+        out = decode_png(encode_png(px, filter_type=ft))
+        assert (out["width"], out["height"], out["channels"]) == (5, 4, 3), ft
+        assert out["pixels"] == px, ft
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    # Grayscale 3x2 (color type 0): v expands to (v, v, v).
+    ihdr_g = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0)
+    scan = bytes([0, 10, 20, 30, 0, 40, 50, 60])
+    gray = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr_g)
+        + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    )
+    d = decode_png(gray)
+    assert d["channels"] == 1
+    assert d["pixels"] == [
+        [(10, 10, 10), (20, 20, 20), (30, 30, 30)],
+        [(40, 40, 40), (50, 50, 50), (60, 60, 60)],
+    ]
+
+    # RGBA 2x1 under the Sub filter: alpha dropped from the tuples,
+    # left-neighbor predictor reconstructed sequentially.
+    ihdr_a = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+    raw = bytes([1, 2, 3, 255, 11, 12, 13, 250])
+    filt = bytes([1]) + raw[:4] + bytes(
+        (raw[4 + i] - raw[i]) & 0xFF for i in range(4)
+    )
+    rgba = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr_a)
+        + chunk(b"IDAT", zlib.compress(filt)) + chunk(b"IEND", b"")
+    )
+    d = decode_png(rgba)
+    assert d["channels"] == 4 and d["pixels"] == [[(1, 2, 3), (11, 12, 13)]]
+
+    # IDAT split across two chunks concatenates before inflate (spec).
+    comp = zlib.compress(scan)
+    split = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr_g) + chunk(b"IDAT", comp[:5])
+        + chunk(b"IDAT", comp[5:]) + chunk(b"IEND", b"")
+    )
+    assert decode_png(split)["pixels"][0][0] == (10, 10, 10)
+
+    # Honest scope: rejections, never garbage.
+    good = encode_png(px)
+    with pytest.raises(ValueError, match="PNG magic"):
+        decode_png(b"JUNKJUNK" + good[8:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:20])  # cut inside the IHDR payload
+    with pytest.raises(ValueError, match="missing IHDR or IEND"):
+        decode_png(good[:-6])  # cut inside the IEND trailer
+    bad_crc = bytearray(good)
+    bad_crc[30] ^= 0xFF  # flip an IHDR payload byte under its CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad_crc))
+    ihdr_pal = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="color_type"):
+        decode_png(
+            _PNG_MAGIC + chunk(b"IHDR", ihdr_pal)
+            + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+        )
+    ihdr_16 = struct.pack(">IIBBBBB", 3, 2, 16, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(
+            _PNG_MAGIC + chunk(b"IHDR", ihdr_16)
+            + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+        )
+    ihdr_i = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlacing"):
+        decode_png(
+            _PNG_MAGIC + chunk(b"IHDR", ihdr_i)
+            + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="deflate"):
+        decode_png(
+            _PNG_MAGIC + chunk(b"IHDR", ihdr_g)
+            + chunk(b"IDAT", comp[:4]) + chunk(b"IEND", b"")
+        )
+    ihdr_wide = struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="scanline"):
+        decode_png(  # header claims 4x2 but raster holds 3x2
+            _PNG_MAGIC + chunk(b"IHDR", ihdr_wide)
+            + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+        )
+
+
+def test_png_dispatch_in_decode_payload():
+    """_decode_payload auto-dispatches on the PNG magic with the same
+    contract as BMP/PPM: real n_pixels in both modes for valid payloads;
+    magic-prefixed garbage falls back to stub features in fake mode and
+    raises in strict mode."""
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _decode_payload,
+        encode_png,
+    )
+
+    good = encode_png(_gradient_pixels(4, 3), filter_type="mixed")
+    for fake in (True, False):
+        assert _decode_payload(good, "image", fake)["n_pixels"] == 12
+    garbage = _PNG_MAGIC + bytes(range(40))
+    feats = _decode_payload(garbage, "image", fake=True)
+    assert "n_pixels" not in feats
+    with pytest.raises(ValueError):
+        _decode_payload(garbage, "image", fake=False)
+
+
+def test_wav_ulaw_codec():
+    """(r7) G.711 μ-law — the first COMPRESSED-audio decode (format 7,
+    logarithmic companding per the public CCITT spec). Expansion must be
+    a fixed point of compress∘expand for every byte, bounded-error on a
+    linear sweep, and a μ-law WAV must walk the same chunk path with
+    frame-counted n_samples and linear samples out."""
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        _decode_payload,
+        decode_wav,
+        encode_wav,
+        linear_to_ulaw,
+        ulaw_to_linear,
+    )
+
+    # Every decodable value survives a re-encode: expand∘compress is
+    # identity on the decoder's image (classic G.711 property; byte-level
+    # idempotence is broken only by negative zero 0x7F ≡ 0xFF).
+    for u in range(256):
+        v = ulaw_to_linear(u)
+        assert ulaw_to_linear(linear_to_ulaw(v)) == v
+
+    # Quantization error is bounded by the top-segment half-step (512)
+    # inside the representable range (beyond ±32124 the codec saturates
+    # — the property test pins that edge).
+    assert all(
+        abs(ulaw_to_linear(linear_to_ulaw(x)) - x) <= 512
+        for x in range(-32000, 32001, 97)
+    )
+
+    samples = [0, 1000, -1000, 30000, -32768]
+    data = encode_wav(samples, sample_rate=8000, codec="ulaw")
+    wav = decode_wav(data)
+    assert (wav["codec"], wav["n_samples"]) == ("ulaw", 5)
+    assert wav["samples"] == [
+        ulaw_to_linear(linear_to_ulaw(s)) for s in samples
+    ]
+    # Stereo μ-law: block_align is n_channels bytes, frames still counted.
+    st = decode_wav(encode_wav([1, 2, 3, 4, 5, 6], n_channels=2, codec="ulaw"))
+    assert (st["n_channels"], st["n_samples"]) == (2, 3)
+    # Strict-mode dispatch decodes it for real.
+    assert _decode_payload(data, "audio", fake=False)["n_samples"] == 5
+    with pytest.raises(ValueError, match="codec"):
+        encode_wav([1], codec="flac")
+
+
+def test_png_ulaw_real_decode_end_to_end(spark, tmp_path):
+    """(r7) The compressed formats decode for REAL through the full
+    Spark path (parquet round-trip → mapInPandas, fake=False): a PNG's
+    n_pixels comes from the inflated pixel array (lying metadata
+    ignored) and a μ-law WAV's n_samples from its actual byte-per-frame
+    data chunk — alongside the uncompressed formats in one batch."""
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_png,
+        encode_wav,
+    )
+
+    rows = [
+        (0, "image", encode_png(_gradient_pixels(6, 4), filter_type="mixed"),
+         (99, 99, None, "png")),
+        (1, "audio", encode_wav(list(range(80)), codec="ulaw"),
+         (None, None, 999, "ulaw")),
+        (2, "image", encode_bmp(_gradient_pixels(3, 2)),
+         (None, None, None, "bmp")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    p = str(tmp_path / "png_ulaw.parquet")
+    media.write.parquet(p)
+    feats = {
+        r.media_id: r
+        for r in extract_features(spark.read.parquet(p), fake=False).collect()
+    }
+    assert feats[0].n_pixels == 24  # real 6*4 via zlib, NOT the lying meta
+    assert feats[1].n_samples == 80  # one byte per mono μ-law frame
+    assert feats[2].n_pixels == 6
 
 
 def test_wav_dispatch_and_real_decode_end_to_end(spark, tmp_path):

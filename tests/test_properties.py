@@ -259,3 +259,64 @@ def test_wav_codec_roundtrip_property(n_channels, n_frames, sample_rate, data):
     assert out["n_samples"] == n_frames
     assert out["n_channels"] == n_channels
     assert out["sample_rate"] == sample_rate
+
+
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    filter_type=st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+    data=st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_codec_roundtrip_property(w, h, filter_type, data):
+    # (r7) decode(encode(px)) == px for the COMPRESSED image codec,
+    # for any dims/values and under EVERY row-filter choice — each
+    # filter_type exercises a distinct _png_unfilter_row branch
+    # (including the sequential left-neighbor reconstruction).
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    px = [
+        [data.draw(_px) for _ in range(w)] for _ in range(h)
+    ]
+    out = decode_png(encode_png(px, filter_type=filter_type))
+    assert (out["width"], out["height"], out["channels"]) == (w, h, 3)
+    assert out["pixels"] == px
+
+
+@given(
+    n_channels=st.integers(1, 3),
+    n_frames=st.integers(0, 30),
+    data=st.data(),
+)
+@settings(max_examples=20, deadline=None)
+def test_wav_ulaw_quantization_property(n_channels, n_frames, data):
+    # (r7) μ-law is LOSSY, so the property is the G.711 contract, not
+    # byte equality: within the codec's representable range (±32124 =
+    # the max decodable magnitude) every decoded sample sits within the
+    # top-segment half-step (512) of its source; beyond it the codec
+    # SATURATES to ±32124. Re-companding a decoded stream is exact
+    # (expand∘compress idempotent on the image).
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        linear_to_ulaw,
+        ulaw_to_linear,
+    )
+
+    samples = [
+        data.draw(st.integers(-32768, 32767))
+        for _ in range(n_frames * n_channels)
+    ]
+    out = decode_wav(encode_wav(samples, 8000, n_channels, codec="ulaw"))
+    assert out["codec"] == "ulaw" and out["n_samples"] == n_frames
+    for d, s in zip(out["samples"], samples):
+        if abs(s) <= 32124:
+            assert abs(d - s) <= 512
+        else:
+            assert d == (32124 if s > 0 else -32124)
+    assert [ulaw_to_linear(linear_to_ulaw(d)) for d in out["samples"]] == (
+        out["samples"]
+    )
