@@ -271,10 +271,13 @@ def _extra_benches():
 def _rotate_stderr_log() -> None:
     """(r7, VERDICT r6 #6) Per-round stderr artifact: derive the round
     number from the newest BENCH_r{N}.json (+1 — the current round's
-    artifact doesn't exist while it runs), remove stale bench_err*
-    logs, and redirect fd 2 to a fresh bench_err_r{N}.log so every
-    warning in it is attributable to the sweep that produced it. dup2
-    on the raw fd happens BEFORE the JVM launches, so Spark/log4j
+    artifact doesn't exist while the driver's sweep runs) and redirect
+    fd 2 to a truncated bench_err_r{N}.log so every warning in it is
+    attributable to the sweep that produced it. Only the file being
+    written is truncated — other rounds' logs are left alone (r7
+    review: a mid-round re-bench AFTER the round's BENCH artifact has
+    landed computes N+1 and must not destroy the genuine round-N log).
+    dup2 on the raw fd happens BEFORE the JVM launches, so Spark/log4j
     stderr lands there too."""
     import glob
     import re
@@ -288,11 +291,6 @@ def _rotate_stderr_log() -> None:
         if m
     ]
     rnd = max(rounds, default=0) + 1
-    for old in glob.glob(os.path.join(REPO, "bench_err*.log")):
-        try:
-            os.unlink(old)
-        except OSError:
-            pass
     errf = open(os.path.join(REPO, f"bench_err_r{rnd:02d}.log"), "w")
     sys.stderr.flush()
     os.dup2(errf.fileno(), 2)

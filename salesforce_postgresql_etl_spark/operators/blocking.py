@@ -73,46 +73,54 @@ def blocked_pairs(
     ``<col>_b`` so the caller's verify predicate (edit distance etc.)
     needs no join back to the source. With ``max_block_size`` set, one
     block-size aggregate gates the join per ``on_oversize`` (see
-    module docstring); ``refine`` is required for ``"refine"``.
+    module docstring); ``refine`` is required for ``"refine"``. The
+    gated path runs that aggregate EAGERLY at construction (the
+    tripwire must fire before the pair bomb, same contract as
+    ``dedup_clusters``'s cap) over a one-shot checkpoint of the narrow
+    (block, key, attrs) projection, so the source is scanned once.
     """
     if on_oversize not in ("raise", "drop", "refine"):
         raise ValueError(f"unknown on_oversize: {on_oversize!r}")
+    if on_oversize == "refine" and max_block_size is not None and refine is None:
+        raise ValueError("on_oversize='refine' needs a refine block Column")
     attrs = list(attrs or [])
-    b = records.select(
-        block.alias("blk"), F.col(key).alias(key), *[F.col(c) for c in attrs]
-    )
+    # Internal block-key names that can't collide with the caller's
+    # schema (r7 review: joining `block == F.col("blk")` back against
+    # `records` mis-bound when records carried its own blk column).
+    # BOTH keys are computed in one projection straight off the source,
+    # so the refine path never re-joins records at all.
+    cols = [block.alias("__blk__"), F.col(key).alias(key)]
+    if refine is not None:
+        cols.append(refine.alias("__fine__"))
+    cols += [F.col(c) for c in attrs]
+    b = records.select(*cols)
     if max_block_size is None:
-        return _self_pairs(b, key, attrs, ["blk"])
+        return _self_pairs(b, key, attrs, ["__blk__"])
 
-    sizes = b.groupBy("blk").agg(F.count(F.lit(1)).alias("_n"))
+    # The gate needs the block sizes BEFORE the pairs plan executes, so
+    # the guarded path eagerly materializes the narrow projection once
+    # (construction-time job, documented) and both the size check and
+    # the pair join read it back — the source is scanned exactly once.
+    b = b.localCheckpoint(eager=True)
+    sizes = b.groupBy("__blk__").agg(F.count(F.lit(1)).alias("_n"))
     hot = sizes.where(F.col("_n") > max_block_size)
     if on_oversize == "raise":
         bad = hot.limit(5).collect()
         if bad:
-            ids = [(r["blk"], r["_n"]) for r in bad]
+            ids = [(r["__blk__"], r["_n"]) for r in bad]
             raise ValueError(
                 f"hot blocks exceed max_block_size={max_block_size}: "
                 f"(block, size) = {ids} — a skewed block key turns the "
                 "blocked join into a pair bomb; refine the key "
                 "(on_oversize='refine') or drop known-junk blocks"
             )
-        return _self_pairs(b, key, attrs, ["blk"])
+        return _self_pairs(b, key, attrs, ["__blk__"])
 
-    cold = b.join(F.broadcast(hot.select("blk")), "blk", "left_anti")
-    cold_pairs = _self_pairs(cold, key, attrs, ["blk"])
+    cold = b.join(F.broadcast(hot.select("__blk__")), "__blk__", "left_anti")
+    cold_pairs = _self_pairs(cold, key, attrs, ["__blk__"])
     if on_oversize == "drop":
         return cold_pairs
 
-    if refine is None:
-        raise ValueError("on_oversize='refine' needs a refine block Column")
-    hot_recs = records.join(
-        F.broadcast(hot.select("blk")),
-        block == F.col("blk"),
-    ).select(
-        F.col("blk"),
-        refine.alias("fine"),
-        F.col(key).alias(key),
-        *[F.col(c) for c in attrs],
-    )
-    hot_pairs = _self_pairs(hot_recs, key, attrs, ["blk", "fine"])
+    hot_recs = b.join(F.broadcast(hot.select("__blk__")), "__blk__")
+    hot_pairs = _self_pairs(hot_recs, key, attrs, ["__blk__", "__fine__"])
     return cold_pairs.unionByName(hot_pairs)

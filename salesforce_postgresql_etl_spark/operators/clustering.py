@@ -161,7 +161,11 @@ def split_oversized_clusters(
     deliberate scope: split-outs are singletons — a production pipeline
     re-blocks them for a second pass; what this stage guarantees is
     that no record stays merged WITHOUT a direct pairwise match to its
-    hub."""
+    hub. Members whose attr (or whose hub's attr) is MISSING from
+    ``attrs`` therefore also split out: they cannot be verified, and
+    the guarantee — plus "no row ever vanishes" (r7 review: the old
+    inner joins silently dropped them) — beats keeping an unprovable
+    merge."""
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("_n"))
     oversized = sizes.where(F.col("_n") > max_cluster_size).select("comp")
     keep = comp.join(oversized, "comp", "left_anti").select("node", "comp")
@@ -173,10 +177,13 @@ def split_oversized_clusters(
         F.col(attrs.columns[0]).alias("comp"),
         F.col(attrs.columns[1]).alias("_attr_h"),
     )
+    # LEFT joins so a missing attr row can never drop a member; a NULL
+    # attr makes verify() evaluate NULL, the when() falls through, and
+    # the member splits to a singleton — unverifiable ≠ merged.
     checked = (
         comp.join(F.broadcast(oversized), "comp")
-        .join(attr_m, "node")
-        .join(attr_h, "comp")
+        .join(attr_m, "node", "left")
+        .join(attr_h, "comp", "left")
         .select(
             "node",
             F.when(
@@ -232,6 +239,13 @@ def dedup_clusters(
     """
     if oversize_action not in ("raise", "split"):
         raise ValueError(f"unknown oversize_action: {oversize_action!r}")
+    if oversize_action == "split" and max_cluster_size is None:
+        # An explicitly configured escalation must never silently no-op
+        # (r7 review: the old nesting skipped the whole stage).
+        raise ValueError(
+            "oversize_action='split' requires max_cluster_size — without "
+            "a cap the escalation would silently never fire"
+        )
     cc_fns = {
         "contract": connected_components_contract,
         "star": connected_components_star,
@@ -336,10 +350,18 @@ def connected_components_contract(
     rounds = 0
     edge_counts: list[int] = []
     mappings: list[DataFrame] = []
-    for _ in range(max_iters):
+    while True:
         n_edges = edges.count()
         if n_edges == 0:
             break
+        if rounds >= max_iters:
+            # Checked AFTER the emptiness probe so a graph that converges
+            # in exactly max_iters rounds doesn't raise spuriously (the
+            # old for/else only discovered emptiness one iteration late).
+            raise RuntimeError(
+                f"connected_components_contract did not converge in "
+                f"{max_iters} rounds (pathological input — raise max_iters)"
+            )
         rounds += 1
         edge_counts.append(n_edges)
         nparts = max(1, min(in_parts, -(-n_edges // _LOOP_ROWS_PER_PARTITION)))
@@ -401,11 +423,6 @@ def connected_components_contract(
             .distinct()
             .coalesce(nparts)
             .localCheckpoint(eager=True)
-        )
-    else:
-        raise RuntimeError(
-            f"connected_components_contract did not converge in "
-            f"{max_iters} rounds (pathological input — raise max_iters)"
         )
     if stats is not None:
         stats["rounds"] = rounds
@@ -487,12 +504,17 @@ def connected_components_star(
     a union of stars rooted at component minimums. ``stats['rounds']``
     (if a dict is passed) records the alternations used.
     """
-    edges = _canon(
-        pairs.select(F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v"))
+    raw = pairs.select(
+        F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v")
     ).localCheckpoint(eager=True)
+    edges = _canon(raw).localCheckpoint(eager=True)
+    # Node set comes from the RAW pairs, not the canonicalized edges:
+    # _canon drops self-loops, and a node appearing ONLY in a self-loop
+    # must still be labeled (as its own singleton) to match the other
+    # two engines' contract exactly.
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -128,6 +128,56 @@ def test_oversize_split_reverifies_against_hub(spark):
         dedup_clusters(pairs, max_cluster_size=2, oversize_action="split")
     with pytest.raises(ValueError, match="unknown oversize_action"):
         dedup_clusters(pairs, oversize_action="bogus")
+    # ... and so is split without a cap — an explicitly configured
+    # escalation must never silently no-op (r7 review finding).
+    with pytest.raises(ValueError, match="requires max_cluster_size"):
+        dedup_clusters(
+            pairs,
+            oversize_action="split",
+            attrs=recs,
+            verify=lambda m, h: F.levenshtein(m, h) <= 1,
+        )
+
+
+def test_oversize_split_never_drops_attr_missing_members(spark):
+    # (r7 review finding) Members of an oversized cluster with NO attr
+    # row — or a hub with no attr row — must not vanish from the label
+    # table (the old inner joins dropped them); unverifiable members
+    # split to singletons, verified ones keep their cluster.
+    recs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab")], "k long, name string"  # 3 missing
+    )
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(
+            chain,
+            max_cluster_size=2,
+            oversize_action="split",
+            attrs=recs,
+            verify=lambda m, h: F.levenshtein(m, h) <= 1,
+        ).collect()
+    }
+    # 3 has no attr row → unverifiable → singleton, NOT dropped.
+    assert got == {1: 1, 2: 1, 3: 3}
+    # Hub (min member 1) missing from attrs: every non-hub member is
+    # unverifiable — all split to singletons, none vanish.
+    recs_no_hub = spark.createDataFrame(
+        [(2, "aaab"), (3, "aabb")], "k long, name string"
+    )
+    got2 = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(
+            chain,
+            max_cluster_size=2,
+            oversize_action="split",
+            attrs=recs_no_hub,
+            verify=lambda m, h: F.levenshtein(m, h) <= 1,
+        ).collect()
+    }
+    assert got2 == {1: 1, 2: 2, 3: 3}
 
 
 def test_clusters_lsh_equals_brute(spark):
@@ -181,10 +231,9 @@ def test_star_equals_labelprop_on_random_graph(spark):
         [(rng.randrange(80), rng.randrange(80)) for _ in range(60)],
         "doc_a long, doc_b long",
     )
-    # Self-loop-only nodes are edge cases the two variants treat
-    # differently (labelprop keeps them, canon drops the loop), so
-    # compare on the loop-free subgraph both accept.
-    edges = edges.where(F.col("doc_a") != F.col("doc_b"))
+    # Includes self-loops (randrange can draw u == v): since r7 the
+    # star variant labels self-loop-only nodes too, so the raw graphs
+    # must agree with no loop-stripping preprocessing.
     assert _comp_map(connected_components_star(edges)) == _comp_map(
         connected_components(edges)
     )
@@ -229,14 +278,33 @@ def test_contract_logarithmic_on_long_chain(spark):
 
 
 def test_contract_keeps_selfloop_only_nodes(spark):
-    # Drop-in parity with connected_components: a node whose only edge
-    # is a self-loop is still returned, labeled by itself.
+    # Drop-in parity across ALL THREE engines: a node whose only edge
+    # is a self-loop is still returned, labeled by itself (the star
+    # variant builds its node set from the RAW pairs, since _canon
+    # strips self-loops — r7 review finding).
     edges = spark.createDataFrame(
         [(7, 7), (1, 2)], "doc_a long, doc_b long"
     )
     got = _comp_map(connected_components_contract(edges))
     assert got == {1: 1, 2: 1, 7: 7}
     assert got == _comp_map(connected_components(edges))
+    assert got == _comp_map(connected_components_star(edges))
+
+
+def test_contract_converges_in_exactly_max_iters(spark):
+    # A single edge contracts to nothing in ONE round; max_iters=1 must
+    # therefore succeed (the old for/else discovered emptiness a round
+    # late and raised spuriously — r7 review finding), and a chain that
+    # genuinely needs more rounds must still raise.
+    one = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    assert _comp_map(connected_components_contract(one, max_iters=1)) == {
+        1: 1, 2: 1,
+    }
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_contract(chain, max_iters=0)
 
 
 def test_contract_empty_pairs(spark):

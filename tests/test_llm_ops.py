@@ -485,6 +485,9 @@ def test_size_prefilter_boundary_is_lossless(spark):
     brute = neardup_pairs(docs, threshold=0.95, strategy="brute").collect()
     assert sorted(map(tuple, pairs)) == sorted(map(tuple, brute))
     assert len(pairs) == 1 and abs(pairs[0].jaccard - 0.95) < 1e-12
+
+
+def test_ppm_roundtrip_pure_python():
     """(r7, VERDICT r6 #4) The second real decoder: P6 round-trip plus
     the header grammar corners — comments anywhere in the header,
     multi-byte whitespace runs, and the honest-scope rejections."""
