@@ -16,14 +16,14 @@ contract a 100 TB training-data pipeline needs:
 
 Decode status (r7): **uncompressed 24-bit BMP, binary PPM (P6),
 8-bit PNG (gray/RGB/gray-alpha/RGBA, all five row filters — stdlib
-zlib inflate, so a genuinely COMPRESSED image format decodes for
-real), 16-bit PCM WAV, and G.711 μ-law WAV (compressed/companded
-audio) all decode for real** — pure-Python parsers (``decode_bmp`` /
-``decode_ppm`` / ``decode_png`` / ``decode_wav``, no external
-libraries) that ``_decode_payload`` auto-dispatches to on the ``BM``
-/ ``P6`` / PNG / ``RIFF`` magics, so actual bytes → actual
-pixels/frames run end-to-end (VERDICT r5 #5, r6 #4). Lossy-DCT image
-(JPEG) and video codecs remain STUBBED:
+zlib inflate), baseline JPEG (SOF0 Huffman, 4:4:4 / 4:2:2 / 4:2:0,
+grayscale — ``operators/jpeg.py``, the lossy-DCT family decoded from
+the public T.81 spec with no libraries at all), 16-bit PCM WAV, and
+G.711 μ-law WAV (compressed/companded audio) all decode for real** —
+pure-Python parsers that ``_decode_payload`` auto-dispatches to on
+the ``BM`` / ``P6`` / PNG / ``FFD8`` / ``RIFF`` magics, so actual
+bytes → actual pixels/frames run end-to-end (VERDICT r5 #5, r6 #4).
+Only video codecs remain STUBBED:
 ``_decode_payload`` raises ``NotImplementedError`` for them unless
 ``fake=True``, in which case it derives deterministic pseudo-features
 (size, sha256-prefix, parsed dims from metadata). Everything around
@@ -543,11 +543,26 @@ def linear_to_ulaw(pcm: int) -> int:
 
 
 def _decode_payload(payload: bytes, kind: str, fake: bool):
-    """Per-payload decode. BMP, PPM(P6) and PNG images plus PCM and
-    μ-law WAV audio decode for REAL (pure-Python parsers; PNG leans
-    only on stdlib zlib); other formats need codec libraries absent
-    from this container, so they stay stubbed behind ``fake``."""
+    """Per-payload decode. BMP, PPM(P6), PNG and baseline JPEG images
+    plus PCM and μ-law WAV audio decode for REAL (pure-Python parsers;
+    PNG leans only on stdlib zlib, JPEG on nothing but math); other
+    formats need codec libraries absent from this container, so they
+    stay stubbed behind ``fake``."""
     payload = bytes(payload)
+    if kind == "image" and payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            img = decode_jpeg(payload)
+        except ValueError:
+            if not fake:  # same contract as BMP/PPM/PNG
+                raise
+        else:
+            return {
+                "n_bytes": len(payload),
+                "content_id": hashlib.sha256(payload).hexdigest()[:16],
+                "n_pixels": img["width"] * img["height"],
+            }
     if kind == "image" and payload[:8] == _PNG_MAGIC:
         try:
             img = decode_png(payload)
@@ -603,9 +618,9 @@ def _decode_payload(payload: bytes, kind: str, fake: bool):
             }
     if not fake:
         raise NotImplementedError(
-            "media decode beyond BMP/PPM/PNG images and PCM/mu-law WAV "
-            "requires codec libraries not present in this environment; "
-            "pass fake=True for the deterministic stub"
+            "media decode beyond BMP/PPM/PNG/baseline-JPEG images and "
+            "PCM/mu-law WAV requires codec libraries not present in this "
+            "environment; pass fake=True for the deterministic stub"
         )
     return {
         "n_bytes": len(payload),
