@@ -689,14 +689,41 @@ RESIZED_SCHEMA = StructType(
 
 
 def _resize_payload(payload: bytes, w: int, h: int, fake: bool) -> bytes:
-    """Library-dependent image resample. STUB: no media libs here —
-    the fake path emits a deterministic w*h-byte payload derived from
-    the source bytes (repeat/truncate), so tests can assert sizes and
-    content-addressing end-to-end."""
+    """Image resample — REAL for every decodable format (r7): decode
+    with the matching pure-Python codec, nearest-neighbor resample to
+    (w, h), re-encode in the same family (JPEG re-encodes at q=90).
+    Payloads no codec can decode keep the stub contract: fake mode
+    emits a deterministic w*h-byte payload derived from the source
+    bytes (repeat/truncate), strict mode raises."""
+    codec = None
+    if payload[:2] == b"BM":
+        codec = (decode_bmp, encode_bmp)
+    elif payload[:2] == b"P6":
+        codec = (decode_ppm, encode_ppm)
+    elif payload[:8] == _PNG_MAGIC:
+        codec = (decode_png, encode_png)
+    elif payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg, encode_jpeg
+
+        codec = (decode_jpeg, lambda px: encode_jpeg(px, quality=90))
+    src = None
+    if codec is not None:
+        try:
+            src = codec[0](payload)["pixels"]
+        except ValueError:
+            src = None  # magic-prefixed but undecodable → stub contract
+    if src is not None:
+        sh, sw = len(src), len(src[0])
+        resized = [
+            [src[y * sh // h][x * sw // w] for x in range(w)]
+            for y in range(h)
+        ]
+        return codec[1](resized)
     if not fake:
         raise NotImplementedError(
-            "image resize requires an imaging library not present in this "
-            "environment; pass fake=True for the deterministic stub"
+            "image resize beyond the BMP/PPM/PNG/baseline-JPEG codecs "
+            "requires an imaging library not present in this environment; "
+            "pass fake=True for the deterministic stub"
         )
     need = w * h
     reps = (need // max(len(payload), 1)) + 1
@@ -707,9 +734,12 @@ def resize_images(
     media: DataFrame, width: int, height: int, fake: bool = True
 ) -> DataFrame:
     """Resize every image payload to (width, height); non-images pass
-    through untouched. Same carriage contract as extract_features: one
-    Arrow-batched JVM↔Python crossing, streaming batch-by-batch, output
-    payload is again an opaque BinaryType ready for scan/shuffle/sink."""
+    through untouched. Decodable payloads (BMP/PPM/PNG/baseline JPEG)
+    resample for REAL — decode → nearest-neighbor → re-encode in kind
+    (r7); others follow the fake/strict stub contract. Same carriage
+    as extract_features: one Arrow-batched JVM↔Python crossing,
+    streaming batch-by-batch, output payload is again an opaque
+    BinaryType ready for scan/shuffle/sink."""
     from ..session import configure_runtime
 
     configure_runtime(media.sparkSession)

@@ -959,6 +959,58 @@ def test_multimodal_frame_sampling(spark):
     assert again == first
 
 
+def test_multimodal_resize_real_for_decodable_payloads(spark):
+    """(r7) resize_images resamples decodable payloads for REAL —
+    decode → nearest-neighbor → re-encode in the same format — in BOTH
+    modes, while undecodable payloads in the same batch keep the stub
+    contract. Verified by decoding the output payloads."""
+    from salesforce_postgresql_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+        resize_images,
+    )
+
+    red_4x4 = [[(200, 30, 30)] * 4 for _ in range(4)]
+    grad_6x4 = _gradient_pixels(6, 4)
+    rows = [
+        (0, "image", encode_bmp(red_4x4), (4, 4, None, "bmp")),
+        (1, "image", encode_png(grad_6x4), (6, 4, None, "png")),
+        (2, "image", encode_jpeg(red_4x4, quality=95), (4, 4, None, "jpeg")),
+        (3, "image", bytes(range(48)), (8, 6, None, "raw")),  # undecodable
+        (4, "audio", bytes(32), (None, None, 16000, "pcm")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in resize_images(media, 8, 2, fake=True).collect()}
+
+    bmp = decode_bmp(out[0].payload)
+    assert (bmp["width"], bmp["height"]) == (8, 2)
+    assert bmp["pixels"][0][0] == (200, 30, 30)  # constant color survives
+    png = decode_png(out[1].payload)
+    assert (png["width"], png["height"]) == (8, 2)
+    # nearest-neighbor: output (0,0) samples source (0,0)
+    assert png["pixels"][0][0] == grad_6x4[0][0]
+    jpg = decode_jpeg(out[2].payload)
+    assert (jpg["width"], jpg["height"]) == (8, 2)
+    assert max(abs(a - b) for a, b in zip(jpg["pixels"][0][0], (200, 30, 30))) <= 6
+    assert out[3].payload == (bytes(range(48)) * 1)[:16]  # stub repeat/trunc
+    assert out[4].payload == bytes(32)  # non-image untouched
+    assert out[0].meta.width == 8 and out[0].meta.height == 2
+    # Strict mode: decodable payloads still resize; the undecodable one
+    # raises instead of silently stubbing.
+    only_real = media.where("media_id < 3")
+    strict = {r.media_id: r for r in resize_images(only_real, 4, 4, fake=False).collect()}
+    assert decode_bmp(strict[0].payload)["width"] == 4
+    with pytest.raises(Exception, match="NotImplementedError|resize"):
+        resize_images(media, 4, 4, fake=False).collect()
+
+
 def test_multimodal_resize_stub_raises(spark):
     import pytest as _pytest
 
