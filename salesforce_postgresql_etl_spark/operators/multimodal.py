@@ -19,11 +19,13 @@ Decode status (r7): **uncompressed 24-bit BMP, binary PPM (P6),
 zlib inflate), baseline JPEG (SOF0 Huffman, 4:4:4 / 4:2:2 / 4:2:0,
 grayscale — ``operators/jpeg.py``, the lossy-DCT family decoded from
 the public T.81 spec with no libraries at all), 16-bit PCM WAV, and
-G.711 μ-law WAV (compressed/companded audio) all decode for real** —
-pure-Python parsers that ``_decode_payload`` auto-dispatches to on
-the ``BM`` / ``P6`` / PNG / ``FFD8`` / ``RIFF`` magics, so actual
-bytes → actual pixels/frames run end-to-end (VERDICT r5 #5, r6 #4).
-Only video codecs remain STUBBED:
+G.711 μ-law WAV (compressed/companded audio), and animated GIF
+(``operators/gif.py`` — full LZW, the moving-image format for
+``sample_frames``) all decode for real** — pure-Python parsers that
+``_decode_payload`` auto-dispatches to on the ``BM`` / ``P6`` / PNG
+/ ``FFD8`` / ``RIFF`` / ``GIF8`` magics, so actual bytes → actual
+pixels/frames run end-to-end (VERDICT r5 #5, r6 #4). Only non-GIF
+video containers (MP4/WebM-class codecs) remain STUBBED:
 ``_decode_payload`` raises ``NotImplementedError`` for them unless
 ``fake=True``, in which case it derives deterministic pseudo-features
 (size, sha256-prefix, parsed dims from metadata). Everything around
@@ -543,12 +545,27 @@ def linear_to_ulaw(pcm: int) -> int:
 
 
 def _decode_payload(payload: bytes, kind: str, fake: bool):
-    """Per-payload decode. BMP, PPM(P6), PNG and baseline JPEG images
-    plus PCM and μ-law WAV audio decode for REAL (pure-Python parsers;
-    PNG leans only on stdlib zlib, JPEG on nothing but math); other
-    formats need codec libraries absent from this container, so they
-    stay stubbed behind ``fake``."""
+    """Per-payload decode. BMP, PPM(P6), PNG and baseline JPEG images,
+    PCM and μ-law WAV audio, and animated GIF (image OR video rows)
+    decode for REAL (pure-Python parsers; PNG leans only on stdlib
+    zlib, JPEG/GIF on nothing but math); other formats need codec
+    libraries absent from this container, so they stay stubbed behind
+    ``fake``."""
     payload = bytes(payload)
+    if kind in ("image", "video") and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        try:
+            gif = decode_gif(payload)
+        except ValueError:
+            if not fake:  # same contract as the other codecs
+                raise
+        else:
+            return {
+                "n_bytes": len(payload),
+                "content_id": hashlib.sha256(payload).hexdigest()[:16],
+                "n_pixels": gif["width"] * gif["height"],
+            }
     if kind == "image" and payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -618,9 +635,10 @@ def _decode_payload(payload: bytes, kind: str, fake: bool):
             }
     if not fake:
         raise NotImplementedError(
-            "media decode beyond BMP/PPM/PNG/baseline-JPEG images and "
-            "PCM/mu-law WAV requires codec libraries not present in this "
-            "environment; pass fake=True for the deterministic stub"
+            "media decode beyond BMP/PPM/PNG/baseline-JPEG/GIF images, "
+            "PCM/mu-law WAV audio, and animated-GIF video requires codec "
+            "libraries not present in this environment; pass fake=True "
+            "for the deterministic stub"
         )
     return {
         "n_bytes": len(payload),
@@ -780,15 +798,34 @@ FRAME_SCHEMA = StructType(
 )
 
 
+def _sample_gif_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """REAL frame sampling (r7): decode the animated GIF, pick
+    ``n_frames`` at evenly-spaced positions along the frame sequence
+    (repeating when the clip is shorter — the same contract a
+    timestamp-based sampler has on a short video), and re-encode each
+    composed canvas as a standalone PNG."""
+    from .gif import decode_gif
+
+    gif = decode_gif(payload)
+    k = gif["n_frames"]
+    return [
+        encode_png(gif["frames"][i * k // n_frames]) for i in range(n_frames)
+    ]
+
+
 def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
     """Fan out each video payload into ``n_frames`` sampled frames —
     the one multimodal op whose output cardinality EXCEEDS its input
     (mapInPandas yields multiple rows per source row; the Arrow batch
     contract handles that natively). Non-video rows produce no output.
 
-    Real decoders pick frames at evenly-spaced timestamps; the fake
-    path slices the payload into n_frames even chunks (deterministic,
-    content-addressed), keeping every Spark-side mechanic real."""
+    Animated GIF payloads sample for REAL (r7): evenly-spaced frames
+    from the composed animation, each emitted as a standalone PNG
+    (``operators/gif.py`` — pure-Python LZW, no libraries). Other
+    containers need codec libraries this environment lacks, so they
+    keep the stub contract: the fake path slices the payload into
+    n_frames even chunks (deterministic, content-addressed) and the
+    strict path raises — keeping every Spark-side mechanic real."""
     from ..session import configure_runtime
 
     configure_runtime(media.sparkSession)
@@ -801,15 +838,27 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> Dat
             for mid, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if k != "video":
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "video frame sampling requires a codec library not "
-                        "present in this environment; pass fake=True"
-                    )
                 p = bytes(p)
-                step = max(len(p) // n_frames, 1)
-                for i in range(n_frames):
-                    frame = p[i * step : (i + 1) * step] or b"\x00"
+                frames = None
+                if p[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        frames = _sample_gif_frames(p, n_frames)
+                    except ValueError:
+                        if not fake:  # same contract as the image codecs
+                            raise
+                if frames is None:
+                    if not fake:
+                        raise NotImplementedError(
+                            "video frame sampling beyond animated GIF "
+                            "requires a codec library not present in this "
+                            "environment; pass fake=True"
+                        )
+                    step = max(len(p) // n_frames, 1)
+                    frames = [
+                        p[i * step : (i + 1) * step] or b"\x00"
+                        for i in range(n_frames)
+                    ]
+                for i, frame in enumerate(frames):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
                     rows["frame"].append(frame)
