@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import struct
 
+from .codecs_common import parser_boundary
+
 
 def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     """GIF-variant LZW: LSB-first codes, CLEAR/END controls, code size
@@ -225,6 +227,7 @@ def encode_gif(
     return bytes(out)
 
 
+@parser_boundary
 def decode_gif(data: bytes) -> dict:
     """Decode an animated GIF. Returns ``{"width", "height",
     "n_frames", "frames"}`` where each frame is a full-canvas pixel

@@ -32,6 +32,8 @@ from __future__ import annotations
 import math
 import struct
 
+from .codecs_common import parser_boundary
+
 
 def _build_zigzag() -> list[int]:
     """Flat 8×8 indices in JPEG zigzag order, generated from the
@@ -243,10 +245,13 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1  # stuffed byte
                 else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} inside scan "
+                    what = (
+                        "truncated scan (bare 0xFF at end of data)"
+                        if nxt is None
+                        else f"unexpected marker 0xFF{nxt:02X} inside scan "
                         "(restart markers are not supported)"
                     )
+                    raise ValueError(what)
             self._acc = (self._acc << 8) | byte
             self._n += 8
         val = (self._acc >> (self._n - nbits)) & ((1 << nbits) - 1)
@@ -500,6 +505,7 @@ def _decode_block(
     return [[v + 128.0 for v in row] for row in spatial], pred
 
 
+@parser_boundary
 def decode_jpeg(data: bytes) -> dict:
     """Decode a baseline JPEG with pure Python. Returns the
     ``{"width", "height", "pixels"}`` shape shared by decode_bmp /
@@ -518,6 +524,13 @@ def decode_jpeg(data: bytes) -> dict:
             raise ValueError("truncated JPEG: no SOS marker found")
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by any number of
+        # 0xFF fill bytes — skip to the last one (r7 review: real
+        # camera/library output uses fill padding).
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG: fill bytes run to end of data")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:

@@ -39,6 +39,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+from .codecs_common import parser_boundary  # noqa: E402 (intra-package)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -109,6 +110,7 @@ def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
     return header + dib + bytes(body)
 
 
+@parser_boundary
 def decode_bmp(data: bytes) -> dict:
     """Decode an uncompressed 24-bit BMP with pure Python (r6,
     VERDICT r5 #5 — the un-stubbed decode path). Returns
@@ -172,6 +174,7 @@ def encode_ppm(pixels: list[list[tuple[int, int, int]]]) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(body)
 
 
+@parser_boundary
 def decode_ppm(data: bytes) -> dict:
     """Decode a binary PPM (P6) with pure Python (r7, VERDICT r6 #4 —
     the second real decoder). Returns the same ``{"width", "height",
@@ -263,6 +266,7 @@ def encode_wav(
     return struct.pack("<4sI", b"RIFF", len(body)) + body
 
 
+@parser_boundary
 def decode_wav(data: bytes) -> dict:
     """Decode a 16-bit PCM RIFF/WAVE payload with pure Python (r7 —
     the first real AUDIO decoder, same role as ``decode_bmp`` /
@@ -436,6 +440,7 @@ def encode_png(
     )
 
 
+@parser_boundary
 def decode_png(data: bytes) -> dict:
     """Decode an 8-bit non-interlaced PNG with pure Python + stdlib
     ``zlib`` (r7 — the first COMPRESSED-image decoder; no external
@@ -544,95 +549,60 @@ def linear_to_ulaw(pcm: int) -> int:
     return ~(sign | (exponent << 4) | mantissa) & 0xFF
 
 
+def _magic_codec(payload: bytes, kind: str):
+    """Dispatch table for the real decoders: returns (decode_fn,
+    feature_fn) for a (kind, magic) pair, or None when no codec
+    claims the payload. One place instead of six copy-pasted
+    try/except blocks (r7 review)."""
+
+    def _pix(d):
+        return {"n_pixels": d["width"] * d["height"]}
+
+    if kind in ("image", "video") and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif, _pix
+    if kind == "image" and payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg, _pix
+    if kind == "image" and payload[:8] == _PNG_MAGIC:
+        return decode_png, _pix
+    if kind == "image" and payload[:2] == b"P6":
+        return decode_ppm, _pix
+    if kind == "image" and payload[:2] == b"BM":
+        return decode_bmp, _pix
+    if kind == "audio" and payload[:4] == b"RIFF":
+        # n_samples from the actual data-chunk frames
+        return decode_wav, lambda d: {"n_samples": d["n_samples"]}
+    return None
+
+
 def _decode_payload(payload: bytes, kind: str, fake: bool):
     """Per-payload decode. BMP, PPM(P6), PNG and baseline JPEG images,
     PCM and μ-law WAV audio, and animated GIF (image OR video rows)
     decode for REAL (pure-Python parsers; PNG leans only on stdlib
     zlib, JPEG/GIF on nothing but math); other formats need codec
     libraries absent from this container, so they stay stubbed behind
-    ``fake``."""
+    ``fake``. Every decoder maps malformed bytes to ValueError
+    (``parser_boundary``), and a magic-prefixed but undecodable
+    payload falls back to the stub in fake mode — the stub contract
+    is "fake never raises" — while strict mode surfaces the error."""
     payload = bytes(payload)
-    if kind in ("image", "video") and payload[:6] in (b"GIF87a", b"GIF89a"):
-        from .gif import decode_gif
-
+    base = {
+        "n_bytes": len(payload),
+        "content_id": hashlib.sha256(payload).hexdigest()[:16],
+    }
+    codec = _magic_codec(payload, kind)
+    if codec is not None:
+        decode, feature = codec
         try:
-            gif = decode_gif(payload)
+            decoded = decode(payload)
         except ValueError:
-            if not fake:  # same contract as the other codecs
-                raise
-        else:
-            return {
-                "n_bytes": len(payload),
-                "content_id": hashlib.sha256(payload).hexdigest()[:16],
-                "n_pixels": gif["width"] * gif["height"],
-            }
-    if kind == "image" and payload[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg
-
-        try:
-            img = decode_jpeg(payload)
-        except ValueError:
-            if not fake:  # same contract as BMP/PPM/PNG
-                raise
-        else:
-            return {
-                "n_bytes": len(payload),
-                "content_id": hashlib.sha256(payload).hexdigest()[:16],
-                "n_pixels": img["width"] * img["height"],
-            }
-    if kind == "image" and payload[:8] == _PNG_MAGIC:
-        try:
-            img = decode_png(payload)
-        except ValueError:
-            if not fake:  # same contract as BMP/PPM: fake never raises
-                raise
-        else:
-            return {
-                "n_bytes": len(payload),
-                "content_id": hashlib.sha256(payload).hexdigest()[:16],
-                "n_pixels": img["width"] * img["height"],
-            }
-    if kind == "audio" and payload[:4] == b"RIFF":
-        try:
-            wav = decode_wav(payload)
-        except ValueError:
-            if not fake:  # same contract as BMP/PPM
-                raise
-        else:
-            return {
-                "n_bytes": len(payload),
-                "content_id": hashlib.sha256(payload).hexdigest()[:16],
-                "n_samples": wav["n_samples"],  # from actual frames
-            }
-    if kind == "image" and payload[:2] == b"P6":
-        try:
-            img = decode_ppm(payload)
-        except ValueError:
-            if not fake:  # same contract as BMP: fake mode never raises
-                raise
-        else:
-            return {
-                "n_bytes": len(payload),
-                "content_id": hashlib.sha256(payload).hexdigest()[:16],
-                "n_pixels": img["width"] * img["height"],
-            }
-    if kind == "image" and payload[:2] == b"BM":
-        try:
-            img = decode_bmp(payload)
-        except ValueError:
-            # 'BM'-prefixed but not a decodable 24-bit BI_RGB BMP
-            # (32-bit, palette, or random bytes). In fake mode the
-            # stub contract is "never raises" — fall through to the
-            # deterministic stub features (r7 advice); strict mode
-            # surfaces the decode error.
             if not fake:
                 raise
         else:
-            return {
-                "n_bytes": len(payload),
-                "content_id": hashlib.sha256(payload).hexdigest()[:16],
-                "n_pixels": img["width"] * img["height"],  # from actual bytes
-            }
+            return {**base, **feature(decoded)}
     if not fake:
         raise NotImplementedError(
             "media decode beyond BMP/PPM/PNG/baseline-JPEG/GIF images, "
@@ -640,10 +610,7 @@ def _decode_payload(payload: bytes, kind: str, fake: bool):
             "libraries not present in this environment; pass fake=True "
             "for the deterministic stub"
         )
-    return {
-        "n_bytes": len(payload),
-        "content_id": hashlib.sha256(payload).hexdigest()[:16],
-    }
+    return base
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
@@ -709,10 +676,11 @@ RESIZED_SCHEMA = StructType(
 def _resize_payload(payload: bytes, w: int, h: int, fake: bool) -> bytes:
     """Image resample — REAL for every decodable format (r7): decode
     with the matching pure-Python codec, nearest-neighbor resample to
-    (w, h), re-encode in the same family (JPEG re-encodes at q=90).
-    Payloads no codec can decode keep the stub contract: fake mode
-    emits a deterministic w*h-byte payload derived from the source
-    bytes (repeat/truncate), strict mode raises."""
+    (w, h), re-encode in the same family (JPEG re-encodes at q=90;
+    GIF resizes its first composed frame). Payloads no codec can
+    decode keep the stub contract: fake mode emits a deterministic
+    w*h-byte payload derived from the source bytes (repeat/truncate),
+    strict mode raises."""
     codec = None
     if payload[:2] == b"BM":
         codec = (decode_bmp, encode_bmp)
@@ -724,6 +692,16 @@ def _resize_payload(payload: bytes, w: int, h: int, fake: bool) -> bytes:
         from .jpeg import decode_jpeg, encode_jpeg
 
         codec = (decode_jpeg, lambda px: encode_jpeg(px, quality=90))
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        # A GIF on an image row resizes its FIRST composed frame and
+        # re-encodes as a single-frame GIF (r7 review: _decode_payload
+        # decodes GIFs for real, so resize must too).
+        from .gif import decode_gif, encode_gif
+
+        codec = (
+            lambda p: {"pixels": decode_gif(p)["frames"][0]},
+            lambda px: encode_gif([px]),
+        )
     src = None
     if codec is not None:
         try:
@@ -739,7 +717,7 @@ def _resize_payload(payload: bytes, w: int, h: int, fake: bool) -> bytes:
         return codec[1](resized)
     if not fake:
         raise NotImplementedError(
-            "image resize beyond the BMP/PPM/PNG/baseline-JPEG codecs "
+            "image resize beyond the BMP/PPM/PNG/baseline-JPEG/GIF codecs "
             "requires an imaging library not present in this environment; "
             "pass fake=True for the deterministic stub"
         )
