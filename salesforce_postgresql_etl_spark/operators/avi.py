@@ -1,0 +1,243 @@
+"""AVI (RIFF) video container codec in pure Python — fixture-grade.
+
+After r7's GIF work, the one multimodal slot still stubbed was
+non-GIF video CONTAINERS. AVI is the canonical RIFF video container
+(public spec: Microsoft's AVI RIFF form, the same chunk grammar
+``decode_wav`` already walks), and with uncompressed DIB frames
+(``BI_RGB`` — the layout ``decode_bmp`` parses) it needs no codec
+library at all: container demux AND frame decode run on real bytes.
+
+Scope (honest, raised-not-guessed at the edges):
+- decode: RIFF/'AVI ' form; ``hdrl`` list with ``avih`` + one video
+  (``vids``) ``strl`` whose ``strf`` is a 24-bit BI_RGB
+  BITMAPINFOHEADER; ``movi`` list with ``##db``/``##dc`` frame
+  chunks for that stream, directly or inside ``rec `` sub-lists;
+  unknown chunks (``JUNK``, ``idx1``, audio streams) are skipped by
+  the chunk grammar. Compressed video (non-zero ``biCompression``),
+  non-24-bit frames, and frames whose byte size disagrees with the
+  declared geometry raise ``ValueError`` — honest scope, not silent
+  garbage.
+- encode: minimal single-stream AVI with full-size bottom-up BGR
+  ``00db`` frames (4-byte row padding, word-aligned chunks) — exists
+  so tests can round-trip real container bytes.
+
+Like the other codecs this is correctness-grade Python — the 100 TB
+story is the Arrow-batched BinaryType carriage in
+``operators/multimodal.py``, not this inner loop.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .codecs_common import parser_boundary
+
+_AVIH_FMT = "<IIIIIIIIIIIIII"  # 14 DWORDs = 56 bytes
+_STRH_FMT = "<4s4sIHHIIIIIIII4h"  # 56 bytes
+_BMIH_FMT = "<IiiHHIIiiII"  # BITMAPINFOHEADER, 40 bytes
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    # RIFF chunks are word-aligned: odd payloads get one pad byte that
+    # is NOT counted in the stored size.
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def _dib_frame(frame: list[list[tuple[int, int, int]]]) -> bytes:
+    """Bottom-up BGR rows padded to 4 bytes — the BI_RGB DIB layout,
+    identical to a BMP's pixel array (multimodal.encode_bmp)."""
+    height = len(frame)
+    width = len(frame[0])
+    row_size = (width * 3 + 3) & ~3
+    body = bytearray()
+    for row in reversed(frame):
+        for r, g, b in row:
+            body += bytes((b, g, r))
+        body += b"\x00" * (row_size - width * 3)
+    return bytes(body)
+
+
+def encode_avi(
+    frames: list[list[list[tuple[int, int, int]]]], fps: int = 10
+) -> bytes:
+    """Write a single-stream uncompressed AVI. ``frames`` is a list of
+    full-size pixel grids (rows of (r, g, b), top first — the shared
+    codec shape). Fixture encoder: one ``vids`` stream, 24-bit BI_RGB
+    ``00db`` frames, no index (the decoder never needs ``idx1``)."""
+    if not frames or not frames[0]:
+        raise ValueError("need at least one non-empty frame")
+    height = len(frames[0])
+    width = len(frames[0][0])
+    for f in frames:
+        if len(f) != height or any(len(row) != width for row in f):
+            raise ValueError("all frames must share the canvas size")
+    row_size = (width * 3 + 3) & ~3
+    frame_bytes = row_size * height
+    avih = struct.pack(
+        _AVIH_FMT,
+        1_000_000 // max(fps, 1),  # MicroSecPerFrame
+        frame_bytes * fps,  # MaxBytesPerSec
+        0,  # PaddingGranularity
+        0x10,  # Flags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off; 0x10 = AVIF_ISINTERLEAVED
+        len(frames),
+        0,  # InitialFrames
+        1,  # Streams
+        frame_bytes,  # SuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # Reserved
+    )
+    strh = struct.pack(
+        _STRH_FMT,
+        b"vids",
+        b"DIB ",
+        0, 0, 0, 0,  # Flags, Priority, Language, InitialFrames
+        1, max(fps, 1),  # Scale, Rate → fps frames/sec
+        0, len(frames),  # Start, Length
+        frame_bytes, 0xFFFFFFFF, 0,  # SuggestedBufferSize, Quality(-1), SampleSize
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        _BMIH_FMT, 40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(
+        b"movi", b"".join(_chunk(b"00db", _dib_frame(f)) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def _walk(data: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) over a chunk run,
+    honoring word alignment. Truncated headers/payloads raise."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated chunk header")
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError(f"truncated {fourcc!r} chunk")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _parse_strl(data: bytes, start: int, size: int):
+    """One stream-definition list → (fcc_type, bmih-dict or None)."""
+    fcc_type = None
+    fmt = None
+    for fourcc, p, sz in _walk(data, start, start + size):
+        if fourcc == b"strh":
+            if sz < 8:
+                raise ValueError("strh too short")
+            fcc_type = data[p : p + 4]
+        elif fourcc == b"strf" and fcc_type == b"vids":
+            if sz < 40:
+                raise ValueError("video strf shorter than BITMAPINFOHEADER")
+            (bmih_size, w, h, planes, bpp, compression) = struct.unpack_from(
+                "<IiiHHI", data, p
+            )
+            if bmih_size < 40:
+                raise ValueError(f"bad BITMAPINFOHEADER size {bmih_size}")
+            fmt = {"width": w, "height": h, "planes": planes, "bpp": bpp,
+                   "compression": compression}
+    return fcc_type, fmt
+
+
+def _decode_dib(data: bytes, p: int, sz: int, width: int, height: int):
+    """One BI_RGB frame chunk → rows of (r, g, b), top first."""
+    top_down = height < 0
+    h = -height if top_down else height
+    row_size = (width * 3 + 3) & ~3
+    if sz != row_size * h:
+        raise ValueError(
+            f"frame chunk is {sz} bytes, geometry says {row_size * h}"
+        )
+    rows = []
+    for y in range(h):
+        base = p + y * row_size
+        rows.append(
+            [
+                (data[base + 3 * x + 2], data[base + 3 * x + 1], data[base + 3 * x])
+                for x in range(width)
+            ]
+        )
+    if not top_down:
+        rows.reverse()  # DIB storage is bottom-up; present top row first
+    return rows
+
+
+@parser_boundary
+def decode_avi(data: bytes) -> dict:
+    """Decode an uncompressed-DIB AVI. Returns the shared video-codec
+    shape ``{"width", "height", "n_frames", "frames"}`` (frames are
+    full-size rows of (r, g, b), top first) so ``sample_frames``
+    treats AVI and GIF identically."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = 8 + riff_size
+    if end > len(data):
+        raise ValueError("truncated RIFF body")
+    fmt = None
+    vids_seen = 0
+    frame_chunks: list[tuple[int, int]] = []
+
+    def collect_movi(start: int, size: int) -> None:
+        # Frame ids are '##db'/'##dc' with ## = the stream number of
+        # the (single) video stream; 'rec ' sub-lists group chunks for
+        # interleaved playback and just recurse.
+        for fourcc, p, sz in _walk(data, start, start + size):
+            if fourcc == b"LIST" and data[p : p + 4] == b"rec ":
+                collect_movi(p + 4, sz - 4)
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2] == b"00":
+                frame_chunks.append((p, sz))
+
+    for fourcc, p, sz in _walk(data, 12, end):
+        if fourcc != b"LIST":
+            continue  # idx1 / JUNK / odd top-level chunks
+        list_type = data[p : p + 4]
+        if list_type == b"hdrl":
+            for f2, p2, sz2 in _walk(data, p + 4, p + sz):
+                if f2 == b"LIST" and data[p2 : p2 + 4] == b"strl":
+                    fcc, strl_fmt = _parse_strl(data, p2 + 4, sz2 - 4)
+                    if fcc == b"vids":
+                        vids_seen += 1
+                        fmt = strl_fmt
+        elif list_type == b"movi":
+            collect_movi(p + 4, sz - 4)
+
+    if fmt is None:
+        raise ValueError("AVI has no video (vids) stream")
+    if vids_seen > 1:
+        raise ValueError(f"{vids_seen} video streams; single-stream scope")
+    if fmt["planes"] != 1 or fmt["bpp"] != 24 or fmt["compression"] != 0:
+        raise ValueError(
+            "only 24-bit BI_RGB frames supported (planes="
+            f"{fmt['planes']}, bpp={fmt['bpp']}, "
+            f"compression={fmt['compression']}) — compressed video needs "
+            "codec libraries this environment lacks"
+        )
+    width, height = fmt["width"], fmt["height"]
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    if not frame_chunks:
+        raise ValueError("AVI contains no frames")
+    frames = [
+        _decode_dib(data, p, sz, width, height) for p, sz in frame_chunks
+    ]
+    return {
+        "width": width,
+        "height": abs(height),
+        "n_frames": len(frames),
+        "frames": frames,
+    }

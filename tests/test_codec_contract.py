@@ -13,6 +13,7 @@ import random
 
 import pytest
 
+from salesforce_postgresql_etl_spark.operators.avi import encode_avi
 from salesforce_postgresql_etl_spark.operators.gif import encode_gif
 from salesforce_postgresql_etl_spark.operators.jpeg import (
     decode_jpeg,
@@ -47,6 +48,7 @@ def _fixtures():
         ("audio", encode_wav([0, 500, -500], codec="ulaw"), "ulaw"),
         ("video", encode_gif([px, _gradient(9, 7)]), "gif"),
         ("image", encode_gif([px]), "gif_img"),
+        ("video", encode_avi([px, _gradient(9, 7)]), "avi"),
     ]
 
 
