@@ -9,17 +9,27 @@ library at all: container demux AND frame decode run on real bytes.
 
 Scope (honest, raised-not-guessed at the edges):
 - decode: RIFF/'AVI ' form; ``hdrl`` list with ``avih`` + one video
-  (``vids``) ``strl`` whose ``strf`` is a 24-bit BI_RGB
-  BITMAPINFOHEADER; ``movi`` list with ``##db``/``##dc`` frame
+  (``vids``) ``strl``; ``movi`` list with ``##db``/``##dc`` frame
   chunks for that stream, directly or inside ``rec `` sub-lists;
   unknown chunks (``JUNK``, ``idx1``, audio streams) are skipped by
-  the chunk grammar. Compressed video (non-zero ``biCompression``),
-  non-24-bit frames, and frames whose byte size disagrees with the
-  declared geometry raise ``ValueError`` — honest scope, not silent
-  garbage.
-- encode: minimal single-stream AVI with full-size bottom-up BGR
-  ``00db`` frames (4-byte row padding, word-aligned chunks) — exists
-  so tests can round-trip real container bytes.
+  the chunk grammar. Two frame codings decode for real:
+  ``biCompression == 0`` (24-bit BI_RGB DIB — the layout
+  ``decode_bmp`` parses) and ``biCompression == 'MJPG'`` (Motion
+  JPEG: every frame chunk is a self-contained baseline JPEG, handed
+  to ``operators/jpeg.decode_jpeg`` — the first genuinely COMPRESSED
+  video decoding for real here). Other compressions, non-24-bit DIB
+  frames, MJPEG frames whose SOF geometry disagrees with the
+  container's ``strf``, and frames whose byte size disagrees with
+  the declared geometry raise ``ValueError`` — honest scope, not
+  silent garbage. (MJPEG frames must carry their own DQT/DHT tables,
+  as our encoder always writes; the legacy table-less MJPEG variant
+  raises from the JPEG layer.)
+- encode: minimal single-stream AVI; ``codec="dib"`` writes
+  full-size bottom-up BGR ``00db`` frames (4-byte row padding,
+  word-aligned chunks); ``codec="mjpeg"`` writes one baseline JPEG
+  per ``00dc`` chunk (quality-scaled, lossy — round-trips bound
+  error, not equality). Exists so tests can round-trip real
+  container bytes.
 
 Like the other codecs this is correctness-grade Python — the 100 TB
 story is the Arrow-batched BinaryType carriage in
@@ -35,6 +45,7 @@ from .codecs_common import parser_boundary
 _AVIH_FMT = "<IIIIIIIIIIIIII"  # 14 DWORDs = 56 bytes
 _STRH_FMT = "<4s4sIHHIIIIIIII4h"  # 56 bytes
 _BMIH_FMT = "<IiiHHIIiiII"  # BITMAPINFOHEADER, 40 bytes
+_MJPG = struct.unpack("<I", b"MJPG")[0]  # biCompression fourcc
 
 
 def _chunk(fourcc: bytes, payload: bytes) -> bytes:
@@ -63,12 +74,19 @@ def _dib_frame(frame: list[list[tuple[int, int, int]]]) -> bytes:
 
 
 def encode_avi(
-    frames: list[list[list[tuple[int, int, int]]]], fps: int = 10
+    frames: list[list[list[tuple[int, int, int]]]],
+    fps: int = 10,
+    codec: str = "dib",
+    quality: int = 90,
 ) -> bytes:
-    """Write a single-stream uncompressed AVI. ``frames`` is a list of
-    full-size pixel grids (rows of (r, g, b), top first — the shared
-    codec shape). Fixture encoder: one ``vids`` stream, 24-bit BI_RGB
-    ``00db`` frames, no index (the decoder never needs ``idx1``)."""
+    """Write a single-stream AVI. ``frames`` is a list of full-size
+    pixel grids (rows of (r, g, b), top first — the shared codec
+    shape). ``codec="dib"`` stores 24-bit BI_RGB ``00db`` frames
+    (lossless); ``codec="mjpeg"`` stores one baseline JPEG per
+    ``00dc`` chunk at the given ``quality`` (lossy). Fixture encoder:
+    one ``vids`` stream, no index (the decoder never needs ``idx1``)."""
+    if codec not in ("dib", "mjpeg"):
+        raise ValueError(f"unsupported codec {codec!r}")
     if not frames or not frames[0]:
         raise ValueError("need at least one non-empty frame")
     height = len(frames[0])
@@ -76,8 +94,18 @@ def encode_avi(
     for f in frames:
         if len(f) != height or any(len(row) != width for row in f):
             raise ValueError("all frames must share the canvas size")
+    if codec == "mjpeg":
+        from .jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(f, quality=quality) for f in frames]
+        handler, compression, chunk_id = b"MJPG", _MJPG, b"00dc"
+    else:
+        payloads = [_dib_frame(f) for f in frames]
+        handler, compression, chunk_id = b"DIB ", 0, b"00db"
     row_size = (width * 3 + 3) & ~3
-    frame_bytes = row_size * height
+    frame_bytes = max(
+        len(p) for p in payloads
+    ) if codec == "mjpeg" else row_size * height
     avih = struct.pack(
         _AVIH_FMT,
         1_000_000 // max(fps, 1),  # MicroSecPerFrame
@@ -95,7 +123,7 @@ def encode_avi(
     strh = struct.pack(
         _STRH_FMT,
         b"vids",
-        b"DIB ",
+        handler,
         0, 0, 0, 0,  # Flags, Priority, Language, InitialFrames
         1, max(fps, 1),  # Scale, Rate → fps frames/sec
         0, len(frames),  # Start, Length
@@ -103,7 +131,8 @@ def encode_avi(
         0, 0, width, height,  # rcFrame
     )
     strf = struct.pack(
-        _BMIH_FMT, 40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+        _BMIH_FMT, 40, width, height, 1, 24, compression,
+        frame_bytes, 0, 0, 0, 0,
     )
     hdrl = _list(
         b"hdrl",
@@ -111,7 +140,7 @@ def encode_avi(
         + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
     )
     movi = _list(
-        b"movi", b"".join(_chunk(b"00db", _dib_frame(f)) for f in frames)
+        b"movi", b"".join(_chunk(chunk_id, p) for p in payloads)
     )
     body = b"AVI " + hdrl + movi
     return struct.pack("<4sI", b"RIFF", len(body)) + body
@@ -220,21 +249,37 @@ def decode_avi(data: bytes) -> dict:
         raise ValueError("AVI has no video (vids) stream")
     if vids_seen > 1:
         raise ValueError(f"{vids_seen} video streams; single-stream scope")
-    if fmt["planes"] != 1 or fmt["bpp"] != 24 or fmt["compression"] != 0:
+    mjpeg = fmt["compression"] == _MJPG
+    if not mjpeg and (
+        fmt["planes"] != 1 or fmt["bpp"] != 24 or fmt["compression"] != 0
+    ):
         raise ValueError(
-            "only 24-bit BI_RGB frames supported (planes="
+            "only 24-bit BI_RGB and MJPG frames supported (planes="
             f"{fmt['planes']}, bpp={fmt['bpp']}, "
-            f"compression={fmt['compression']}) — compressed video needs "
-            "codec libraries this environment lacks"
+            f"compression={fmt['compression']}) — other compressed video "
+            "needs codec libraries this environment lacks"
         )
     width, height = fmt["width"], fmt["height"]
     if width <= 0 or height == 0:
         raise ValueError(f"bad dimensions {width}x{height}")
     if not frame_chunks:
         raise ValueError("AVI contains no frames")
-    frames = [
-        _decode_dib(data, p, sz, width, height) for p, sz in frame_chunks
-    ]
+    if mjpeg:
+        from .jpeg import decode_jpeg
+
+        frames = []
+        for i, (p, sz) in enumerate(frame_chunks):
+            img = decode_jpeg(data[p : p + sz])
+            if (img["width"], img["height"]) != (width, abs(height)):
+                raise ValueError(
+                    f"MJPEG frame {i} is {img['width']}x{img['height']}, "
+                    f"container strf says {width}x{abs(height)}"
+                )
+            frames.append(img["pixels"])
+    else:
+        frames = [
+            _decode_dib(data, p, sz, width, height) for p, sz in frame_chunks
+        ]
     return {
         "width": width,
         "height": abs(height),

@@ -21,12 +21,14 @@ grayscale — ``operators/jpeg.py``, the lossy-DCT family decoded from
 the public T.81 spec with no libraries at all), 16-bit PCM WAV, and
 G.711 μ-law WAV (compressed/companded audio), and animated GIF
 (``operators/gif.py`` — full LZW, the moving-image format for
-``sample_frames``), and uncompressed-DIB AVI (``operators/avi.py``
-— the RIFF video CONTAINER demuxed for real, r7) all decode for
+``sample_frames``), and AVI (``operators/avi.py`` — the RIFF video
+CONTAINER demuxed for real, r7, with BOTH uncompressed-DIB and
+MJPEG frames: Motion JPEG chunks decode through ``operators/jpeg``,
+so genuinely COMPRESSED video runs on real bytes) all decode for
 real** — pure-Python parsers that ``_decode_payload``
 auto-dispatches to on the ``BM`` / ``P6`` / PNG / ``FFD8`` /
 ``RIFF`` / ``GIF8`` magics, so actual bytes → actual pixels/frames
-run end-to-end (VERDICT r5 #5, r6 #4). Only compressed video
+run end-to-end (VERDICT r5 #5, r6 #4). Only inter-frame video
 CODECS (MP4/WebM-class, inherently lib-bound) remain STUBBED:
 ``_decode_payload`` raises ``NotImplementedError`` for them unless
 ``fake=True``, in which case it derives deterministic pseudo-features
@@ -587,7 +589,7 @@ def _magic_codec(payload: bytes, kind: str):
 def _decode_payload(payload: bytes, kind: str, fake: bool):
     """Per-payload decode. BMP, PPM(P6), PNG and baseline JPEG images,
     PCM and μ-law WAV audio, animated GIF (image OR video rows), and
-    uncompressed-DIB AVI video decode for REAL (pure-Python parsers;
+    DIB/MJPEG AVI video decode for REAL (pure-Python parsers;
     PNG leans only on stdlib zlib, JPEG/GIF/AVI on nothing but math);
     other formats need codec
     libraries absent from this container, so they stay stubbed behind
@@ -613,7 +615,7 @@ def _decode_payload(payload: bytes, kind: str, fake: bool):
     if not fake:
         raise NotImplementedError(
             "media decode beyond BMP/PPM/PNG/baseline-JPEG/GIF images, "
-            "PCM/mu-law WAV audio, and GIF/uncompressed-AVI video requires "
+            "PCM/mu-law WAV audio, and GIF / DIB-or-MJPEG-AVI video requires "
             "codec libraries not present in this environment; pass "
             "fake=True for the deterministic stub"
         )
@@ -818,11 +820,11 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> Dat
     (mapInPandas yields multiple rows per source row; the Arrow batch
     contract handles that natively). Non-video rows produce no output.
 
-    Animated GIF and uncompressed-DIB AVI payloads sample for REAL
+    Animated GIF and DIB/MJPEG AVI payloads sample for REAL
     (r7): evenly-spaced frames from the composed clip, each emitted
     as a standalone PNG (``operators/gif.py`` — pure-Python LZW;
-    ``operators/avi.py`` — RIFF demux, no libraries). Compressed
-    video codecs need libraries this environment lacks, so they
+    ``operators/avi.py`` — RIFF demux; MJPEG frames decode through
+    ``operators/jpeg``). Inter-frame video codecs need libraries this environment lacks, so they
     keep the stub contract: the fake path slices the payload into
     n_frames even chunks (deterministic, content-addressed) and the
     strict path raises — keeping every Spark-side mechanic real."""
@@ -855,7 +857,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4, fake: bool = True) -> Dat
                     if not fake:
                         raise NotImplementedError(
                             "video frame sampling beyond animated GIF and "
-                            "uncompressed-DIB AVI requires a codec library "
+                            "DIB/MJPEG AVI requires a codec library "
                             "not present in this environment; pass fake=True"
                         )
                     step = max(len(p) // n_frames, 1)

@@ -186,3 +186,78 @@ def test_avi_sample_frames_real_end_to_end(spark, tmp_path):
     for r, src_idx in zip(out, [0, 2, 4]):
         png = decode_png(bytes(r.frame))
         assert png["pixels"] == clips[src_idx]
+
+
+def _max_err(a, b):
+    return max(
+        abs(ca - cb)
+        for ra, rb in zip(a, b)
+        for pa, pb in zip(ra, rb)
+        for ca, cb in zip(pa, pb)
+    )
+
+
+def test_avi_mjpeg_roundtrip_bounded_error():
+    """(r7) MJPG compression: each frame chunk is a baseline JPEG
+    decoded by operators/jpeg.py — JPEG is lossy so the round-trip
+    bound is the codec's own q100 bound, not equality."""
+    frames = [_gradient(20, 14, seed=s) for s in (0, 50, 120)]
+    data = encode_avi(frames, codec="mjpeg", quality=100)
+    d = decode_avi(data)
+    assert (d["width"], d["height"], d["n_frames"]) == (20, 14, 3)
+    for got, src in zip(d["frames"], frames):
+        assert _max_err(got, src) <= 2
+    # The container really says MJPG (strf biCompression fourcc).
+    i = data.find(b"strf")
+    assert data[i + 8 + 16 : i + 8 + 20] == b"MJPG"
+    # And frame chunks are self-contained JPEGs ('00dc', SOI-prefixed).
+    j = data.find(b"00dc")
+    assert data[j + 8 : j + 10] == b"\xFF\xD8"
+
+
+def test_avi_mjpeg_geometry_mismatch_raises():
+    data = bytearray(encode_avi([_gradient(8, 6)], codec="mjpeg"))
+    i = data.find(b"strf")
+    struct.pack_into("<i", data, i + 8 + 4, 9)  # lie: width 8 -> 9
+    with pytest.raises(ValueError, match="container strf"):
+        decode_avi(bytes(data))
+
+
+def test_avi_mjpeg_truncation_sweep():
+    good = encode_avi([_gradient(9, 7)], codec="mjpeg")
+    for k in range(0, len(good), max(1, len(good) // 50)):
+        try:
+            decode_avi(good[:k])
+        except ValueError:
+            pass  # never IndexError/struct.error (parser_boundary)
+
+
+def test_avi_unknown_codec_param_raises():
+    with pytest.raises(ValueError, match="codec"):
+        encode_avi([_gradient(4, 3)], codec="h264")
+
+
+def test_avi_mjpeg_sample_frames_real_end_to_end(spark, tmp_path):
+    """Compressed video through the REAL path: MJPEG AVI → parquet →
+    sample_frames(fake=False) → PNG frames within the JPEG bound."""
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        sample_frames,
+    )
+
+    clips = [[[(i * 40, 10, 200)] * 10 for _ in range(6)] for i in range(5)]
+    avi = encode_avi(clips, codec="mjpeg", quality=100)
+    media = spark.createDataFrame(
+        [(0, "video", avi, (10, 6, None, "avi"))], MEDIA_SCHEMA
+    )
+    p = str(tmp_path / "mjpeg.parquet")
+    media.write.parquet(p)
+    out = sorted(
+        sample_frames(spark.read.parquet(p), n_frames=2, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in out] == [0, 1]
+    for r, src_idx in zip(out, [0, 2]):
+        png = decode_png(bytes(r.frame))
+        assert _max_err(png["pixels"], clips[src_idx]) <= 2

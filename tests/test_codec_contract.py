@@ -49,6 +49,7 @@ def _fixtures():
         ("video", encode_gif([px, _gradient(9, 7)]), "gif"),
         ("image", encode_gif([px]), "gif_img"),
         ("video", encode_avi([px, _gradient(9, 7)]), "avi"),
+        ("video", encode_avi([px, _gradient(9, 7)], codec="mjpeg"), "mjpeg"),
     ]
 
 
