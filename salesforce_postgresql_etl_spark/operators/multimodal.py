@@ -18,8 +18,10 @@ Decode status (r7): **uncompressed 24-bit BMP, binary PPM (P6),
 8-bit PNG (gray/RGB/gray-alpha/RGBA, all five row filters — stdlib
 zlib inflate), baseline JPEG (SOF0 Huffman, 4:4:4 / 4:2:2 / 4:2:0,
 grayscale — ``operators/jpeg.py``, the lossy-DCT family decoded from
-the public T.81 spec with no libraries at all), 16-bit PCM WAV, and
-G.711 μ-law WAV (compressed/companded audio), and animated GIF
+the public T.81 spec with no libraries at all), WAV audio in four
+codings (16-bit PCM; G.711 μ-law AND A-law companding; IMA ADPCM —
+true 4-bit adaptive-differential compression, ``operators/adpcm``),
+and animated GIF
 (``operators/gif.py`` — full LZW, the moving-image format for
 ``sample_frames``), and AVI (``operators/avi.py`` — the RIFF video
 CONTAINER demuxed for real, r7, with BOTH uncompressed-DIB and
@@ -241,30 +243,53 @@ def encode_wav(
     sample_rate: int = 16000,
     n_channels: int = 1,
     codec: str = "pcm16",
+    block_align: int = 256,
 ) -> bytes:
     """Write a RIFF/WAVE file. ``samples`` is the interleaved LINEAR
     sample list (len must divide by n_channels). ``codec="pcm16"``
-    stores them as uncompressed 16-bit PCM (format 1); ``"ulaw"``
-    compands them to G.711 μ-law bytes (format 7 — lossy, so decode
-    returns the quantized values). Fixture-grade counterpart of
-    ``decode_wav``."""
+    stores them as uncompressed 16-bit PCM (format 1); ``"ulaw"`` /
+    ``"alaw"`` compand them to G.711 bytes (formats 7 / 6 — lossy, so
+    decode returns the quantized values); ``"adpcm"`` writes IMA
+    ADPCM (format 0x11, 4 bits/sample via ``operators/adpcm`` — the
+    ``block_align`` parameter sizes its blocks and must be a multiple
+    of 4×channels; a ``fact`` chunk records the true frame count so
+    decode trims the final block's padding). Fixture-grade
+    counterpart of ``decode_wav``."""
     if n_channels < 1 or len(samples) % n_channels:
         raise ValueError("samples must interleave n_channels evenly")
-    if codec not in ("pcm16", "ulaw"):
+    if codec not in ("pcm16", "ulaw", "alaw", "adpcm"):
         raise ValueError(f"unsupported codec {codec!r}")
-    if codec == "ulaw":
-        audio_format, bits, sample_bytes = 7, 8, 1
-        data = bytes(linear_to_ulaw(s) for s in samples)
+    fact = b""
+    ext = b""
+    if codec == "adpcm":
+        from .adpcm import encode_blocks, samples_per_block
+
+        audio_format, bits = 0x11, 4
+        data = encode_blocks(samples, block_align, n_channels)
+        spb = samples_per_block(block_align, n_channels)
+        byte_rate = sample_rate * block_align // spb
+        ext = struct.pack("<HH", 2, spb)  # cbSize=2, wSamplesPerBlock
+        fact = struct.pack("<4sII", b"fact", 4, len(samples) // n_channels)
     else:
-        audio_format, bits, sample_bytes = 1, 16, 2
-        data = b"".join(struct.pack("<h", s) for s in samples)
-    block_align = n_channels * sample_bytes
-    byte_rate = sample_rate * block_align
+        if codec == "ulaw":
+            audio_format, bits, sample_bytes = 7, 8, 1
+            data = bytes(linear_to_ulaw(s) for s in samples)
+        elif codec == "alaw":
+            audio_format, bits, sample_bytes = 6, 8, 1
+            data = bytes(linear_to_alaw(s) for s in samples)
+        else:
+            audio_format, bits, sample_bytes = 1, 16, 2
+            data = b"".join(struct.pack("<h", s) for s in samples)
+        block_align = n_channels * sample_bytes
+        byte_rate = sample_rate * block_align
     fmt = struct.pack(
-        "<4sIHHIIHH", b"fmt ", 16, audio_format, n_channels, sample_rate,
-        byte_rate, block_align, bits,
+        "<4sIHHIIHH", b"fmt ", 16 + len(ext), audio_format, n_channels,
+        sample_rate, byte_rate, block_align, bits,
+    ) + ext
+    body = (
+        b"WAVE" + fmt + fact
+        + struct.pack("<4sI", b"data", len(data)) + data
     )
-    body = b"WAVE" + fmt + struct.pack("<4sI", b"data", len(data)) + data
     if len(data) % 2:  # RIFF chunks are word-aligned
         body += b"\x00"
     return struct.pack("<4sI", b"RIFF", len(body)) + body
@@ -272,23 +297,27 @@ def encode_wav(
 
 @parser_boundary
 def decode_wav(data: bytes) -> dict:
-    """Decode a 16-bit PCM RIFF/WAVE payload with pure Python (r7 —
-    the first real AUDIO decoder, same role as ``decode_bmp`` /
-    ``decode_ppm`` for images). Walks the chunk list properly (skips
+    """Decode a RIFF/WAVE payload with pure Python (r7 — the real
+    AUDIO decoder, same role as ``decode_bmp`` / ``decode_ppm`` for
+    images). Walks the chunk list properly (skips
     unknown chunks like LIST/INFO, honors the odd-size padding byte),
     and returns ``{"sample_rate", "n_channels", "n_samples",
     "samples", "codec"}`` — n_samples counts FRAMES (interleaved
-    sample groups), samples is the interleaved LINEAR int list (μ-law
-    bytes are expanded through ``ulaw_to_linear``). Uncompressed
-    16-bit PCM (format 1) and G.711 μ-law (format 7, r7 — the first
-    compressed-audio decode) are supported; IEEE-float/ADPCM/24-bit
-    raise — honest scope, not silent garbage."""
+    sample groups), samples is the interleaved LINEAR int list
+    (companded/compressed bytes are expanded back to 16-bit linear).
+    Uncompressed 16-bit PCM (format 1), G.711 μ-law and A-law
+    (formats 7 / 6 — companded), and IMA ADPCM (format 0x11 — true
+    4-bit differential compression via ``operators/adpcm``, with the
+    ``fact`` chunk trimming final-block padding) are supported;
+    IEEE-float/24-bit/other compressions raise — honest scope, not
+    silent garbage."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(data)
     fmt_info = None
     frames = None
     samples = None
+    fact_frames = None
     while pos + 8 <= n:
         cid, csize = struct.unpack_from("<4sI", data, pos)
         pos += 8
@@ -304,34 +333,75 @@ def decode_wav(data: bytes) -> dict:
                 codec, sample_bytes = "pcm16", 2
             elif (audio_format, bits) == (7, 8):
                 codec, sample_bytes = "ulaw", 1
+            elif (audio_format, bits) == (6, 8):
+                codec, sample_bytes = "alaw", 1
+            elif (audio_format, bits) == (0x11, 4):
+                codec, sample_bytes = "adpcm", None
             else:
                 raise ValueError(
-                    f"only 16-bit PCM and 8-bit mu-law supported "
-                    f"(format={audio_format}, bits={bits})"
+                    f"only 16-bit PCM, G.711 mu-law/A-law and IMA ADPCM "
+                    f"supported (format={audio_format}, bits={bits})"
                 )
-            if n_channels < 1 or block_align != n_channels * sample_bytes:
+            if n_channels < 1 or (
+                sample_bytes is not None
+                and block_align != n_channels * sample_bytes
+            ):
                 raise ValueError(
                     f"inconsistent fmt (channels={n_channels}, "
                     f"block_align={block_align})"
                 )
+            if codec == "adpcm":
+                from .adpcm import samples_per_block
+
+                spb = samples_per_block(block_align, n_channels)  # validates
+                if csize >= 20:
+                    (cb,) = struct.unpack_from("<H", data, pos + 16)
+                    if cb >= 2:
+                        (spb_decl,) = struct.unpack_from("<H", data, pos + 18)
+                        if spb_decl != spb:
+                            raise ValueError(
+                                f"fmt declares {spb_decl} samples/block, "
+                                f"block_align implies {spb}"
+                            )
             fmt_info = (sample_rate, n_channels, block_align, codec)
+        elif cid == b"fact":
+            if csize >= 4:
+                (fact_frames,) = struct.unpack_from("<I", data, pos)
         elif cid == b"data":
             if fmt_info is None:
                 raise ValueError("data chunk before fmt chunk")
-            block_align, codec = fmt_info[2], fmt_info[3]
-            if csize % block_align:
-                raise ValueError("data size not frame-aligned")
-            frames = csize // block_align
-            if codec == "ulaw":
-                samples = [ulaw_to_linear(b) for b in data[pos : pos + csize]]
+            n_channels, block_align, codec = fmt_info[1:4]
+            if codec == "adpcm":
+                from .adpcm import decode_blocks
+
+                samples = decode_blocks(
+                    data[pos : pos + csize], block_align, n_channels
+                )
+                frames = len(samples) // n_channels
             else:
-                samples = [
-                    struct.unpack_from("<h", data, pos + 2 * i)[0]
-                    for i in range(csize // 2)
-                ]
+                if csize % block_align:
+                    raise ValueError("data size not frame-aligned")
+                frames = csize // block_align
+                if codec == "ulaw":
+                    samples = [
+                        ulaw_to_linear(b) for b in data[pos : pos + csize]
+                    ]
+                elif codec == "alaw":
+                    samples = [
+                        alaw_to_linear(b) for b in data[pos : pos + csize]
+                    ]
+                else:
+                    samples = [
+                        struct.unpack_from("<h", data, pos + 2 * i)[0]
+                        for i in range(csize // 2)
+                    ]
         pos += csize + (csize & 1)  # word-align to the next chunk
     if fmt_info is None or frames is None:
         raise ValueError("missing fmt or data chunk")
+    if fact_frames is not None and fact_frames < frames:
+        # compressed WAVs pad the final block; fact records the truth
+        frames = fact_frames
+        samples = samples[: frames * fmt_info[1]]
     return {
         "sample_rate": fmt_info[0],
         "n_channels": fmt_info[1],
@@ -551,6 +621,38 @@ def linear_to_ulaw(pcm: int) -> int:
     exponent = max((pcm >> 7).bit_length() - 1, 0)
     mantissa = (pcm >> (exponent + 3)) & 0x0F
     return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def alaw_to_linear(a: int) -> int:
+    """One A-law byte → 16-bit linear PCM (CCITT G.711 A-law
+    expansion: even-bit inversion, then 13-bit segment/quantum
+    reconstruction scaled to the 16-bit domain). r7: completes the
+    G.711 pair — A-law is the E1/European twin of μ-law."""
+    a ^= 0x55  # even bits are stored inverted
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def linear_to_alaw(pcm: int) -> int:
+    """16-bit linear PCM → one A-law byte (CCITT G.711 A-law
+    compression in the 13-bit domain)."""
+    p = pcm >> 3  # arithmetic shift into the 13-bit domain
+    if p >= 0:
+        mask = 0xD5  # sign bit set (positive) + even-bit inversion
+    else:
+        mask = 0x55
+        p = -p - 1
+    p = min(p, 0xFFF)
+    seg = max(p.bit_length() - 5, 0)
+    quant = (p >> (seg if seg >= 2 else 1)) & 0x0F
+    return ((seg << 4) | quant) ^ mask
 
 
 def _magic_codec(payload: bytes, kind: str):

@@ -46,6 +46,12 @@ def _fixtures():
         ("image", encode_jpeg(px, quality=85, subsample=True), "jpeg420"),
         ("audio", encode_wav(list(range(-40, 40))), "wav"),
         ("audio", encode_wav([0, 500, -500], codec="ulaw"), "ulaw"),
+        ("audio", encode_wav([0, 500, -500], codec="alaw"), "alaw"),
+        (
+            "audio",
+            encode_wav(list(range(0, 600, 10)), codec="adpcm", block_align=16),
+            "adpcm",
+        ),
         ("video", encode_gif([px, _gradient(9, 7)]), "gif"),
         ("image", encode_gif([px]), "gif_img"),
         ("video", encode_avi([px, _gradient(9, 7)]), "avi"),
