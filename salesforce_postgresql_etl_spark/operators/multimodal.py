@@ -690,7 +690,8 @@ def _magic_codec(payload: bytes, kind: str):
 
 def _decode_payload(payload: bytes, kind: str, fake: bool):
     """Per-payload decode. BMP, PPM(P6), PNG and baseline JPEG images,
-    PCM and μ-law WAV audio, animated GIF (image OR video rows), and
+    WAV audio (PCM16 / G.711 μ-law + A-law / IMA ADPCM), animated GIF
+    (image OR video rows), and
     DIB/MJPEG AVI video decode for REAL (pure-Python parsers;
     PNG leans only on stdlib zlib, JPEG/GIF/AVI on nothing but math);
     other formats need codec
@@ -717,7 +718,8 @@ def _decode_payload(payload: bytes, kind: str, fake: bool):
     if not fake:
         raise NotImplementedError(
             "media decode beyond BMP/PPM/PNG/baseline-JPEG/GIF images, "
-            "PCM/mu-law WAV audio, and GIF / DIB-or-MJPEG-AVI video requires "
+            "PCM16/G.711/IMA-ADPCM WAV audio, and GIF / DIB-or-MJPEG-AVI "
+            "video requires "
             "codec libraries not present in this environment; pass "
             "fake=True for the deterministic stub"
         )
