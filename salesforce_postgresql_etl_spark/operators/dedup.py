@@ -339,14 +339,20 @@ def simhash_signatures(docs: DataFrame, n_planes: int = 32) -> DataFrame:
     return s.select("doc_id", sig.cast("bigint").alias("simhash"))
 
 
-def simhash_neardup(
-    docs: DataFrame,
+def hamming_pairs(
+    sigs: DataFrame,
+    n_bits: int,
     max_hamming: int = 3,
-    n_planes: int = 32,
     strategy: str = "banded",
 ) -> DataFrame:
-    """All document pairs (doc_a < doc_b) with SimHash Hamming distance
-    ≤ ``max_hamming``. Returns (doc_a, doc_b, hamming).
+    """All id pairs (doc_a < doc_b) whose ``n_bits``-wide signatures
+    are within Hamming distance ``max_hamming``. ``sigs`` has columns
+    (doc_id, sig) with sig a bigint; returns (doc_a, doc_b, hamming).
+
+    The signature-agnostic half of ``simhash_neardup`` (r7: extracted
+    so image perceptual hashes — ``operators/phash.py`` — reuse the
+    same exact-guarantee search instead of growing a second banding
+    implementation).
 
     ``strategy="banded"`` is the scale path with an EXACT guarantee —
     no probabilistic miss, unlike MinHash/sign-plane banding: split the
@@ -357,18 +363,21 @@ def simhash_neardup(
     ``bit_count(sig_a XOR sig_b)`` — cheap, exact, JVM-side. The only
     shuffle keys are (band, bits) buckets; a bucket's size is bounded
     by the number of docs sharing one band value (n/2^width expected).
+    Band extraction is shift-and-mask, so a signed bigint whose top
+    bit is set bands correctly: shiftright sign-extends but the mask
+    truncates back to the band width.
 
     ``strategy="brute"`` is the all-pairs oracle form for tests.
     """
     bands = max_hamming + 1
-    if n_planes % bands != 0:
+    if n_bits % bands != 0:
         raise ValueError(
-            f"n_planes={n_planes} must be divisible by max_hamming+1={bands}"
+            f"n_bits={n_bits} must be divisible by max_hamming+1={bands}"
         )
-    width = n_planes // bands
-    sigs = simhash_signatures(docs, n_planes)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    width = n_bits // bands
+    sigs = sigs.select("doc_id", "sig")
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     hamming = F.bit_count(F.expr("sig_a ^ sig_b"))
 
     if strategy == "brute":
@@ -377,24 +386,24 @@ def simhash_neardup(
         mask = (1 << width) - 1
         band_rows = sigs.select(
             "doc_id",
-            "simhash",
+            "sig",
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(i).alias("band"),
-                            F.expr(f"(simhash >> {i * width}) & {mask}").alias("bits"),
+                            F.expr(f"(sig >> {i * width}) & {mask}").alias("bits"),
                         )
                         for i in range(bands)
                     ]
                 )
             ).alias("bb"),
-        ).select("doc_id", "simhash", "bb.band", "bb.bits")
+        ).select("doc_id", "sig", "bb.band", "bb.bits")
         ca = band_rows.select(
-            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bits"
+            F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bits"
         )
         cb = band_rows.select(
-            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bits"
+            F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bits"
         )
         pairs = (
             ca.join(cb, ["band", "bits"])
@@ -410,3 +419,20 @@ def simhash_neardup(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_planes: int = 32,
+    strategy: str = "banded",
+) -> DataFrame:
+    """All document pairs (doc_a < doc_b) with SimHash Hamming distance
+    ≤ ``max_hamming``. Returns (doc_a, doc_b, hamming). Signature
+    construction is ``simhash_signatures``; the pair search is the
+    shared pigeonhole banding (``hamming_pairs`` — see it for the
+    exactness argument and the shuffle story)."""
+    sigs = simhash_signatures(docs, n_planes).select(
+        "doc_id", F.col("simhash").alias("sig")
+    )
+    return hamming_pairs(sigs, n_planes, max_hamming, strategy)

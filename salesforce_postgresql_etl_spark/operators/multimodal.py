@@ -786,6 +786,35 @@ RESIZED_SCHEMA = StructType(
 )
 
 
+def _pixel_codec(payload: bytes):
+    """(decode→pixels, encode) pair for any image payload one of the
+    pure-Python codecs claims, else None. Every decode half returns
+    ``{"pixels": rows-of-(r,g,b)}`` — the shared entry point for
+    resize (`_resize_payload`) and perceptual hashing
+    (`operators/phash.py`), so new codecs plug into both at once."""
+    if payload[:2] == b"BM":
+        return (decode_bmp, encode_bmp)
+    if payload[:2] == b"P6":
+        return (decode_ppm, encode_ppm)
+    if payload[:8] == _PNG_MAGIC:
+        return (decode_png, encode_png)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg, encode_jpeg
+
+        return (decode_jpeg, lambda px: encode_jpeg(px, quality=90))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # A GIF on an image row acts on its FIRST composed frame and
+        # re-encodes as a single-frame GIF (r7 review: _decode_payload
+        # decodes GIFs for real, so resize must too).
+        from .gif import decode_gif, encode_gif
+
+        return (
+            lambda p: {"pixels": decode_gif(p)["frames"][0]},
+            lambda px: encode_gif([px]),
+        )
+    return None
+
+
 def _resize_payload(payload: bytes, w: int, h: int, fake: bool) -> bytes:
     """Image resample — REAL for every decodable format (r7): decode
     with the matching pure-Python codec, nearest-neighbor resample to
@@ -794,27 +823,7 @@ def _resize_payload(payload: bytes, w: int, h: int, fake: bool) -> bytes:
     decode keep the stub contract: fake mode emits a deterministic
     w*h-byte payload derived from the source bytes (repeat/truncate),
     strict mode raises."""
-    codec = None
-    if payload[:2] == b"BM":
-        codec = (decode_bmp, encode_bmp)
-    elif payload[:2] == b"P6":
-        codec = (decode_ppm, encode_ppm)
-    elif payload[:8] == _PNG_MAGIC:
-        codec = (decode_png, encode_png)
-    elif payload[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg, encode_jpeg
-
-        codec = (decode_jpeg, lambda px: encode_jpeg(px, quality=90))
-    elif payload[:6] in (b"GIF87a", b"GIF89a"):
-        # A GIF on an image row resizes its FIRST composed frame and
-        # re-encodes as a single-frame GIF (r7 review: _decode_payload
-        # decodes GIFs for real, so resize must too).
-        from .gif import decode_gif, encode_gif
-
-        codec = (
-            lambda p: {"pixels": decode_gif(p)["frames"][0]},
-            lambda px: encode_gif([px]),
-        )
+    codec = _pixel_codec(payload)
     src = None
     if codec is not None:
         try:

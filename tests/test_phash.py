@@ -1,0 +1,180 @@
+"""Perceptual image hash (operators/phash.py): pure-fn properties,
+codec invariance/robustness, the Spark projection, and banded≡brute
+pair-search equivalence on the shared Hamming banding."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from salesforce_postgresql_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    encode_bmp,
+    encode_png,
+    encode_ppm,
+)
+from salesforce_postgresql_etl_spark.operators.phash import (
+    _phash_payload,
+    _to_signed64,
+    image_phash,
+    phash64,
+    phash_neardup,
+)
+
+
+def _scene(seed: int, w: int = 64, h: int = 64):
+    """Deterministic SMOOTH image (sums of sinusoids): perceptual
+    hashing is a low-frequency statement, so fixtures need real
+    low-frequency content — white noise would be hash-unstable under
+    JPEG by construction, not by bug."""
+    fx, fy = 1 + seed % 3, 2 + seed % 4
+    return [
+        [
+            (
+                int(127 + 120 * math.sin((fx * x + fy * y) / 9.0 + seed)),
+                int(127 + 120 * math.sin((x - fy * y) / 7.0 + 2 * seed)),
+                int(127 + 120 * math.cos((fx * x * y) / 151.0 + 3 * seed)),
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_deterministic_uint64():
+    px = _scene(1)
+    h1, h2 = phash64(px), phash64(px)
+    assert h1 == h2
+    assert 0 <= h1 < 1 << 64
+
+
+def test_phash_uniform_image_keeps_dc():
+    # Flat image: the AC terms are float residuals of ~1e-13 (the
+    # basis sums are zero only in exact math), so their above-median
+    # pattern is degenerate noise — but it is DETERMINISTIC noise,
+    # and the DC coefficient always dominates the median.
+    px = [[(100, 100, 100)] * 16 for _ in range(16)]
+    h = phash64(px)
+    assert h == phash64(px)
+    assert h & 1  # DC bit survives any flat field
+
+
+def test_phash_lossless_encoding_invariant():
+    # The SAME picture through three lossless codecs → identical hash
+    # (sha256 content_ids all differ — this is what pHash adds).
+    px = _scene(2)
+    payloads = [encode_bmp(px), encode_ppm(px), encode_png(px)]
+    hashes = {_phash_payload(p, fake=False) for p in payloads}
+    assert len(hashes) == 1
+
+
+def test_phash_nearest_neighbor_upscale_exact():
+    # 2× nearest-neighbor upscale resamples back to the identical
+    # 32×32 grid (y*2h//32 indexes the copied pixels), so the hash is
+    # EXACTLY equal — pinned as an invariant, not a tolerance.
+    px = _scene(3)
+    up = [[px[y // 2][x // 2] for x in range(128)] for y in range(128)]
+    assert phash64(px) == phash64(up)
+
+
+def test_phash_jpeg_reencode_is_near():
+    from salesforce_postgresql_etl_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for seed in range(4):
+        px = _scene(seed)
+        recompressed = decode_jpeg(encode_jpeg(px, quality=90))["pixels"]
+        d = _ham(phash64(px), phash64(recompressed))
+        assert d <= 6, f"seed {seed}: hamming {d} after JPEG q90"
+
+
+def test_phash_discriminates_different_scenes():
+    hashes = [phash64(_scene(s)) for s in range(6)]
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = _ham(hashes[i], hashes[j])
+            assert d >= 16, f"scenes {i},{j}: hamming {d}"
+
+
+def test_phash_payload_contract():
+    # No codec claims it: fake → deterministic pseudo-hash (stable,
+    # content-addressed), strict → NotImplementedError.
+    junk = b"\x00\x01rawbytes-not-an-image" * 3
+    a, b = _phash_payload(junk, fake=True), _phash_payload(junk, fake=True)
+    assert a == b
+    with pytest.raises(NotImplementedError):
+        _phash_payload(junk, fake=False)
+    # Magic-but-corrupt: fake falls back, strict surfaces ValueError.
+    corrupt = encode_bmp(_scene(0, 8, 8))[:20]
+    assert isinstance(_phash_payload(corrupt, fake=True), int)
+    with pytest.raises(ValueError):
+        _phash_payload(corrupt, fake=False)
+
+
+def test_to_signed64_roundtrips_bits():
+    for u in (0, 1, (1 << 63) - 1, 1 << 63, (1 << 64) - 1):
+        s = _to_signed64(u)
+        assert -(1 << 63) <= s < 1 << 63
+        assert s & ((1 << 64) - 1) == u
+
+
+def test_image_phash_spark_projection(spark):
+    px = _scene(4, 16, 12)
+    rows = [
+        (0, "image", encode_bmp(px), (None, None, None, "bmp")),
+        (1, "image", encode_png(px), (None, None, None, "png")),
+        (2, "audio", b"RIFFnot-really", (None, None, 16000, "pcm")),
+        (3, "image", b"unknown-format-payload", (None, None, None, "raw")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r.phash for r in image_phash(media, fake=True).collect()}
+    # audio row dropped; bmp == png (lossless invariance through Spark)
+    assert set(out) == {0, 1, 3}
+    assert out[0] == out[1]
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        image_phash(media, fake=False).collect()
+
+
+def test_phash_neardup_banded_equals_brute(spark):
+    from salesforce_postgresql_etl_spark.operators.jpeg import encode_jpeg
+
+    rows = []
+    mid = 0
+    for seed in range(4):
+        px = _scene(seed)
+        for payload in (
+            encode_bmp(px),
+            encode_png(px),
+            encode_jpeg(px, quality=90),
+        ):
+            rows.append((mid, "image", payload, (None, None, None, "img")))
+            mid += 1
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # max_hamming=7 → eight 8-bit bands (64 must divide by bands).
+    banded = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in phash_neardup(media, max_hamming=7, fake=False).collect()
+    }
+    brute = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in phash_neardup(
+            media, max_hamming=7, fake=False, strategy="brute"
+        ).collect()
+    }
+    assert banded == brute
+    # every same-scene trio is fully recovered (3 pairs per scene),
+    # and no cross-scene pair sneaks under the radius
+    scene_of = {m: m // 3 for m in range(12)}
+    for a, b, d in banded:
+        assert scene_of[a] == scene_of[b]
+    per_scene = {}
+    for a, b, _ in banded:
+        per_scene.setdefault(scene_of[a], set()).add((a, b))
+    assert all(len(v) == 3 for v in per_scene.values())
