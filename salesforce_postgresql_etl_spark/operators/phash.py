@@ -180,3 +180,121 @@ def phash_neardup(
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+def video_phash(
+    media: DataFrame, n_frames: int = 3, fake: bool = True
+) -> DataFrame:
+    """(media_id, frame_idx, phash) — one perceptual hash per sampled
+    frame of every VIDEO row. Composes the two real pipelines:
+    ``multimodal.sample_frames`` demuxes GIF/AVI clips into PNG
+    frames, and each frame rides the image hash above. Two Arrow
+    crossings total (the sample fan-out, then an 8-byte-per-frame
+    projection); payload bytes never shuffle past the sampler."""
+    from .multimodal import sample_frames
+
+    frames = sample_frames(media, n_frames=n_frames, fake=fake)
+
+    @F.pandas_udf(LongType())
+    def _hash(col):
+        return col.map(lambda b: _phash_payload(b, fake))
+
+    return frames.select(
+        "media_id", "frame_idx", _hash("frame").alias("phash")
+    )
+
+
+def video_neardup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    n_frames: int = 3,
+    fake: bool = True,
+    strategy: str = "banded",
+) -> DataFrame:
+    """All video pairs (media_a < media_b) where EVERY sampled frame,
+    aligned by position, is within ``max_hamming`` bits — the
+    cross-CONTAINER duplicate set: the same clip stored as an animated
+    GIF and as a DIB or MJPEG AVI lands here with zero shared payload
+    bytes. Returns (media_a, media_b, hamming) with hamming = the
+    worst aligned-frame distance.
+
+    Exactness carries over from the image case: per aligned frame the
+    pigeonhole banding (keys extended to (frame_idx, band, bits))
+    finds every within-radius pair, and the all-frames conjunction is
+    a plain post-aggregation — so banded ≡ brute, pytest-pinned.
+    Scale shape: shuffle keys are (frame_idx, band, bits) buckets of
+    8-byte signatures; the conjunction aggregates n_frames rows per
+    candidate pair, never the frame images."""
+    bands = max_hamming + 1
+    if 64 % bands != 0:
+        raise ValueError(f"64 must be divisible by max_hamming+1={bands}")
+    width = 64 // bands
+    sigs = video_phash(media, n_frames=n_frames, fake=fake)
+
+    a = sigs.select(
+        F.col("media_id").alias("media_a"),
+        "frame_idx",
+        F.col("phash").alias("sig_a"),
+    )
+    b = sigs.select(
+        F.col("media_id").alias("media_b"),
+        "frame_idx",
+        F.col("phash").alias("sig_b"),
+    )
+    if strategy == "brute":
+        pairs = a.join(b, "frame_idx").where(F.col("media_a") < F.col("media_b"))
+    elif strategy == "banded":
+        mask = (1 << width) - 1
+        band_rows = sigs.select(
+            "media_id",
+            "frame_idx",
+            "phash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.expr(f"(phash >> {i * width}) & {mask}").alias(
+                                "bits"
+                            ),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("media_id", "frame_idx", "phash", "bb.band", "bb.bits")
+        ca = band_rows.select(
+            F.col("media_id").alias("media_a"),
+            "frame_idx",
+            F.col("phash").alias("sig_a"),
+            "band",
+            "bits",
+        )
+        cb = band_rows.select(
+            F.col("media_id").alias("media_b"),
+            "frame_idx",
+            F.col("phash").alias("sig_b"),
+            "band",
+            "bits",
+        )
+        pairs = (
+            ca.join(cb, ["frame_idx", "band", "bits"])
+            .where(F.col("media_a") < F.col("media_b"))
+            .select("media_a", "media_b", "frame_idx", "sig_a", "sig_b")
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    per_frame = pairs.withColumn(
+        "hamming", F.bit_count(F.expr("sig_a ^ sig_b")).cast("int")
+    ).where(F.col("hamming") <= max_hamming)
+    return (
+        per_frame.groupBy("media_a", "media_b")
+        .agg(
+            F.countDistinct("frame_idx").alias("n_near"),
+            F.max("hamming").alias("hamming"),
+        )
+        .where(F.col("n_near") == n_frames)
+        .select("media_a", "media_b", "hamming")
+    )

@@ -178,3 +178,85 @@ def test_phash_neardup_banded_equals_brute(spark):
     for a, b, _ in banded:
         per_scene.setdefault(scene_of[a], set()).add((a, b))
     assert all(len(v) == 3 for v in per_scene.values())
+
+
+# ---------------------------------------------------------------------------
+# Video: per-sampled-frame pHash → cross-container clip near-dup
+# ---------------------------------------------------------------------------
+def _vframe(seed: int, t: int, w: int = 48, h: int = 32):
+    """Low-color (8-palette) block scene — encode_gif caps at 256
+    distinct colors, and per-seed block geometry keeps different
+    clips ≥30 bits apart (measured) while JPEG re-encode moves ≤2."""
+    bx, by = 4 + 2 * (seed % 3), 3 + (seed % 4)
+    pal = [
+        ((37 * seed + 61 * k) % 256, (91 * seed + 43 * k) % 256, (29 * seed + 83 * k) % 256)
+        for k in range(8)
+    ]
+    if seed % 2:
+        return [[pal[((x // bx) * (y // by) + t) % 8] for x in range(w)] for y in range(h)]
+    return [[pal[((x // bx) + (y // by) + t) % 8] for x in range(w)] for y in range(h)]
+
+
+def _vclip(seed: int):
+    return [_vframe(seed, t) for t in range(4)]
+
+
+def test_video_phash_cross_container_exact(spark):
+    from salesforce_postgresql_etl_spark.operators.avi import encode_avi
+    from salesforce_postgresql_etl_spark.operators.gif import encode_gif
+    from salesforce_postgresql_etl_spark.operators.phash import video_phash
+
+    frames = _vclip(0)
+    rows = [
+        (0, "video", encode_gif(frames), (None, None, None, "gif")),
+        (1, "video", encode_avi(frames, codec="dib"), (None, None, None, "avi")),
+        (2, "image", encode_bmp(_scene(0, 8, 8)), (None, None, None, "bmp")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = video_phash(media, n_frames=3, fake=False).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, {})[r.frame_idx] = r.phash
+    # image row produces nothing; GIF and DIB-AVI frames decode to the
+    # SAME pixels, so the per-frame hashes are identical, not merely near
+    assert set(by_id) == {0, 1}
+    assert by_id[0] == by_id[1]
+    assert len(by_id[0]) == 3
+
+
+def test_video_neardup_banded_equals_brute(spark):
+    from salesforce_postgresql_etl_spark.operators.avi import encode_avi
+    from salesforce_postgresql_etl_spark.operators.gif import encode_gif
+    from salesforce_postgresql_etl_spark.operators.phash import video_neardup
+
+    rows = []
+    mid = 0
+    for seed in range(4):
+        frames = _vclip(seed)
+        for payload in (
+            encode_gif(frames),
+            encode_avi(frames, codec="dib"),
+            encode_avi(frames, codec="mjpeg", quality=90),
+        ):
+            rows.append((mid, "video", payload, (None, None, None, "vid")))
+            mid += 1
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    banded = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in video_neardup(media, max_hamming=3, n_frames=3, fake=False).collect()
+    }
+    brute = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in video_neardup(
+            media, max_hamming=3, n_frames=3, fake=False, strategy="brute"
+        ).collect()
+    }
+    assert banded == brute
+    clip_of = {m: m // 3 for m in range(12)}
+    for a, b, _ in banded:
+        assert clip_of[a] == clip_of[b]
+    per_clip = {}
+    for a, b, _ in banded:
+        per_clip.setdefault(clip_of[a], set()).add((a, b))
+    # each clip's GIF/DIB/MJPEG trio fully recovered
+    assert all(len(v) == 3 for v in per_clip.values())
