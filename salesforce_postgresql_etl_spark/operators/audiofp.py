@@ -54,8 +54,9 @@ _TRIG = [
 
 
 def _band_energies(frame: list[float]) -> list[float]:
-    """9 band energies of one 128-sample frame (direct DFT on bins
-    1..27 — the only bins the bands read, so only those are computed)."""
+    """9 band energies of one ``_FRAME_LEN``-sample frame (direct DFT
+    on bins 1..27 — the only bins the bands read, so only those are
+    computed)."""
     energies = []
     for band in range(_BANDS):
         e = 0.0
