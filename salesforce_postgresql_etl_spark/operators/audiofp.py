@@ -175,17 +175,21 @@ def audio_neardup(
     max_hamming: int = 3,
     fake: bool = True,
     strategy: str = "banded",
+    persist: bool = True,
 ) -> DataFrame:
     """All audio pairs (media_a < media_b) within ``max_hamming``
     fingerprint bits — the cross-codec duplicate set (a clip and its
     μ-law/A-law/ADPCM re-encodes land Hamming-near). Same shared
-    ``dedup.hamming_pairs`` search as image ``phash_neardup``."""
+    ``dedup.hamming_pairs`` search as image ``phash_neardup``,
+    including its ``persist`` decode-once rule (default True: the
+    fingerprint table checkpoints at 16 bytes/row instead of the
+    self-join decoding every clip twice)."""
     from .dedup import hamming_pairs
 
     sigs = audio_fingerprint(media, fake=fake).select(
         F.col("media_id").alias("doc_id"), F.col("afp").alias("sig")
     )
-    pairs = hamming_pairs(sigs, 64, max_hamming, strategy)
+    pairs = hamming_pairs(sigs, 64, max_hamming, strategy, persist=persist)
     return pairs.select(
         F.col("doc_a").alias("media_a"),
         F.col("doc_b").alias("media_b"),

@@ -344,6 +344,7 @@ def hamming_pairs(
     n_bits: int,
     max_hamming: int = 3,
     strategy: str = "banded",
+    persist: bool = False,
 ) -> DataFrame:
     """All id pairs (doc_a < doc_b) whose ``n_bits``-wide signatures
     are within Hamming distance ``max_hamming``. ``sigs`` has columns
@@ -368,6 +369,20 @@ def hamming_pairs(
     truncates back to the band width.
 
     ``strategy="brute"`` is the all-pairs oracle form for tests.
+
+    ``persist=True`` eagerly materializes the 16-byte-per-row
+    (doc_id, sig) table before the self-join. Both strategies
+    reference the signature lineage TWICE (the a/b sides), and
+    exchange reuse canNOT be relied on to deduplicate the upstream
+    work: measured on the media operators (tests/perceptual_audit.py),
+    AQE picks a broadcast hash join for the banded equi-join, whose
+    build side has no shuffle exchange at all — the final plan showed
+    TWO decode (MapInPandas) nodes and zero ReusedExchange, i.e. every
+    payload decoded twice. Callers whose signature producer is
+    expensive (media decode; at 100 TB, two full corpus decode passes)
+    should pass True — the media near-dup wrappers do by default.
+    Text SimHash keeps the lazy default: re-hashing tokens is cheap
+    relative to a checkpoint's scheduling cost at test scale.
     """
     bands = max_hamming + 1
     if n_bits % bands != 0:
@@ -376,6 +391,8 @@ def hamming_pairs(
         )
     width = n_bits // bands
     sigs = sigs.select("doc_id", "sig")
+    if persist:
+        sigs = sigs.localCheckpoint(eager=True)
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     hamming = F.bit_count(F.expr("sig_a ^ sig_b"))

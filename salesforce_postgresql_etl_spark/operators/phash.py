@@ -162,19 +162,27 @@ def phash_neardup(
     max_hamming: int = 3,
     fake: bool = True,
     strategy: str = "banded",
+    persist: bool = True,
 ) -> DataFrame:
     """All image pairs (media_a < media_b) whose perceptual hashes are
     within ``max_hamming`` bits — the re-encode/rescale near-dup set
     exact content_id dedup cannot see. Returns (media_a, media_b,
     hamming). 64 bits must divide by max_hamming+1 (3 → four 16-bit
     bands). Pair search = ``dedup.hamming_pairs`` (exact pigeonhole
-    guarantee; see its docstring for the shuffle story)."""
+    guarantee; see its docstring for the shuffle story).
+
+    ``persist`` (default True) checkpoints the 16-byte (id, hash)
+    table before the self-join so every payload decodes exactly ONCE —
+    without it the join's two sides each run the decode lineage
+    (measured, tests/perceptual_audit.py: two MapInPandas nodes, zero
+    ReusedExchange — at 100 TB that is a second full decode pass of
+    the corpus)."""
     from .dedup import hamming_pairs
 
     sigs = image_phash(media, fake=fake).select(
         F.col("media_id").alias("doc_id"), F.col("phash").alias("sig")
     )
-    pairs = hamming_pairs(sigs, 64, max_hamming, strategy)
+    pairs = hamming_pairs(sigs, 64, max_hamming, strategy, persist=persist)
     return pairs.select(
         F.col("doc_a").alias("media_a"),
         F.col("doc_b").alias("media_b"),
@@ -210,6 +218,7 @@ def video_neardup(
     n_frames: int = 3,
     fake: bool = True,
     strategy: str = "banded",
+    persist: bool = True,
 ) -> DataFrame:
     """All video pairs (media_a < media_b) where EVERY sampled frame,
     aligned by position, is within ``max_hamming`` bits — the
@@ -230,6 +239,12 @@ def video_neardup(
         raise ValueError(f"64 must be divisible by max_hamming+1={bands}")
     width = 64 // bands
     sigs = video_phash(media, n_frames=n_frames, fake=fake)
+    if persist:
+        # Same decode-once rule as phash_neardup: both join sides
+        # reference the signature lineage, and the lineage here is the
+        # EXPENSIVE one (demux + per-frame decode + hash). 24 bytes/row
+        # checkpointed vs a second demux pass of every clip.
+        sigs = sigs.localCheckpoint(eager=True)
 
     a = sigs.select(
         F.col("media_id").alias("media_a"),

@@ -180,6 +180,30 @@ def test_phash_neardup_banded_equals_brute(spark):
     assert all(len(v) == 3 for v in per_scene.values())
 
 
+def test_phash_neardup_persist_equivalence(spark):
+    """persist=True (decode-once checkpoint, the default) and
+    persist=False (lazy lineage, decoded per join side) are the same
+    operator — identical pair sets. The difference is plan shape only:
+    measured in tests/perceptual_audit.py, the lazy form ran TWO
+    MapInPandas decode nodes with zero ReusedExchange."""
+    rows = [
+        (mid, "image", encode_bmp(_scene(mid // 2)), (None, None, None, "bmp"))
+        for mid in range(8)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    kw = dict(max_hamming=3, fake=False)
+    eager = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in phash_neardup(media, persist=True, **kw).collect()
+    }
+    lazy = {
+        (r.media_a, r.media_b, r.hamming)
+        for r in phash_neardup(media, persist=False, **kw).collect()
+    }
+    assert eager == lazy
+    assert {(a, b) for a, b, _ in eager} == {(2 * s, 2 * s + 1) for s in range(4)}
+
+
 # ---------------------------------------------------------------------------
 # Video: per-sampled-frame pHash → cross-container clip near-dup
 # ---------------------------------------------------------------------------
