@@ -202,6 +202,18 @@ def test_phash_neardup_persist_equivalence(spark):
     }
     assert eager == lazy
     assert {(a, b) for a, b, _ in eager} == {(2 * s, 2 * s + 1) for s in range(4)}
+    # Structural pin of decode-once: with persist=True the pair-search
+    # plan reads the checkpointed signature table — the decode crossing
+    # (MapInPandas) must NOT appear in it at all (it already ran, once,
+    # inside the eager checkpoint job). The lazy form embeds it twice.
+    eager_plan = phash_neardup(
+        media, persist=True, **kw
+    )._jdf.queryExecution().executedPlan().toString()
+    lazy_plan = phash_neardup(
+        media, persist=False, **kw
+    )._jdf.queryExecution().executedPlan().toString()
+    assert eager_plan.count("MapInPandas") == 0
+    assert lazy_plan.count("MapInPandas") == 2
 
 
 # ---------------------------------------------------------------------------
