@@ -1,0 +1,141 @@
+"""Image DCT embeddings → the existing ANN stack (media similarity).
+
+The claim under test: `media_embed.image_embeddings` output drops
+straight into `simsearch.topk_cosine`, and cosine over the 63-AC-DCT
+descriptor separates "same picture re-encoded" (≈1.0, any codec mix)
+from "different scene" — so media similarity search needs NO new
+search operator, only this projection.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from salesforce_postgresql_etl_spark.operators.media_embed import (
+    EMBED_DIM,
+    _embed_payload,
+    dct_features,
+    image_embeddings,
+)
+from salesforce_postgresql_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    encode_bmp,
+    encode_png,
+)
+
+
+def _scene(seed: int, w: int = 64, h: int = 64):
+    """Smooth sinusoid scenes (the perceptual-fixture rule: low-
+    frequency content, not noise)."""
+    fx, fy = 1 + seed % 3, 2 + seed % 4
+    return [
+        [
+            (
+                int(127 + 120 * math.sin((fx * x + fy * y) / 9.0 + seed)),
+                int(127 + 120 * math.sin((x - fy * y) / 7.0 + 2 * seed)),
+                int(127 + 120 * math.cos((fx * x * y) / 151.0 + 3 * seed)),
+            )
+            for x in range(w)
+        ]
+        for y in range(h)
+    ]
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+
+def test_dct_features_shape_and_determinism():
+    v1 = dct_features(_scene(1))
+    v2 = dct_features(_scene(1))
+    assert len(v1) == EMBED_DIM == 63
+    assert v1 == v2  # bit-exact: fixed summation order, no randomness
+
+
+def test_reencode_cosine_near_one_cross_scene_lower():
+    # Same scene through two codecs (zero shared payload bytes) must
+    # sit near cosine 1.0; different scenes must sit clearly lower.
+    from salesforce_postgresql_etl_spark.operators.jpeg import encode_jpeg
+
+    within, cross = [], []
+    vecs = {}
+    for seed in range(4):
+        px = _scene(seed)
+        enc = [
+            _embed_payload(encode_bmp(px), fake=False),
+            _embed_payload(encode_png(px), fake=False),
+            _embed_payload(encode_jpeg(px, quality=90), fake=False),
+        ]
+        vecs[seed] = enc[0]
+        within += [_cos(enc[0], enc[1]), _cos(enc[0], enc[2])]
+    for a in range(4):
+        for b in range(a + 1, 4):
+            cross.append(_cos(vecs[a], vecs[b]))
+    assert min(within) > 0.99  # lossless exact; JPEG-q90 barely moves
+    assert max(cross) < 0.9
+    assert min(within) > max(cross) + 0.05  # real margin, not a tie
+
+
+def test_brightness_shift_invariance_direction():
+    # DC is dropped, so a global brightness shift (clipping-free)
+    # leaves the descriptor unchanged up to float residue: the AC
+    # basis rows sum to zero only in exact arithmetic (~1e-13 in
+    # floats — the r7 flat-image pHash lesson: pin direction, never
+    # exact values where residue lives).
+    px = _scene(2)
+    shifted = [
+        [(r + 30, g + 30, b + 30) for (r, g, b) in row] for row in px
+    ]
+    assert _cos(dct_features(px), dct_features(shifted)) > 1 - 1e-9
+
+
+def test_fake_mode_contract():
+    # No codec magic → deterministic content-addressed pseudo-vector
+    # in fake mode (exact dups at cosine 1.0), strict mode raises.
+    junk = b"\x00\x01garbage-payload"
+    v1 = _embed_payload(junk, fake=True)
+    v2 = _embed_payload(junk, fake=True)
+    assert v1 == v2 and len(v1) == EMBED_DIM
+    with pytest.raises(NotImplementedError):
+        _embed_payload(junk, fake=False)
+    # magic-but-corrupt: fake falls back, strict raises ValueError
+    corrupt = encode_bmp(_scene(0))[:30]
+    assert len(_embed_payload(corrupt, fake=True)) == EMBED_DIM
+    with pytest.raises(ValueError):
+        _embed_payload(corrupt, fake=False)
+
+
+def test_topk_cosine_over_image_embeddings(spark):
+    """End-to-end bridge: 4 scenes × 3 encodings → embeddings →
+    simsearch.topk_cosine(brute). Each query's 2 nearest neighbors
+    must be its own re-encodes."""
+    from pyspark.sql import functions as F
+
+    from salesforce_postgresql_etl_spark.operators.jpeg import encode_jpeg
+    from salesforce_postgresql_etl_spark.operators.simsearch import topk_cosine
+
+    rows = []
+    for seed in range(4):
+        px = _scene(seed)
+        for j, payload in enumerate(
+            (encode_bmp(px), encode_png(px), encode_jpeg(px, quality=90))
+        ):
+            rows.append(
+                (seed * 3 + j, "image", payload, (None, None, None, "img"))
+            )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    emb = image_embeddings(media, fake=False).withColumn("label", F.lit(0))
+    emb = emb.localCheckpoint(eager=True)  # decode once (phash rule)
+    queries = emb.where(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    out = topk_cosine(emb, queries, k=2, strategy="brute").collect()
+    assert len(out) == 8  # 4 queries × k=2
+    for r in out:
+        assert r.qid // 3 == r.vec_id // 3, (
+            f"query {r.qid}: neighbor {r.vec_id} is a different scene"
+        )
+        assert r.cosine > 0.99
