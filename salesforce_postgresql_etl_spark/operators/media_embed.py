@@ -1,5 +1,5 @@
-"""Image DCT feature embeddings — the bridge from the multimodal
-decode layer to the ANN similarity stack.
+"""Media feature embeddings (image DCT, audio band-energy) — the
+bridge from the multimodal decode layer to the ANN similarity stack.
 
 Perceptual HASHING (``operators/phash.py``) answers "is this the same
 picture re-encoded?" — a Hamming-radius question. A corpus pipeline
@@ -125,7 +125,11 @@ def _embed_payload(payload: bytes, fake: bool) -> list[float]:
 _EMBED_SCHEMA = StructType(
     [
         StructField("vec_id", LongType(), False),
-        StructField("embedding", ArrayType(DoubleType(), False), False),
+        # element nullability TRUE to match the embeddings fixture —
+        # Arrow's pandas→list converter rejects non-null element types
+        # on the sign-plane pandas-UDF path (measured: the LSH pair
+        # search failed with NumPyConverter on `double not null`).
+        StructField("embedding", ArrayType(DoubleType(), True), False),
     ]
 )
 
@@ -151,7 +155,124 @@ def image_embeddings(media: DataFrame, fake: bool = True) -> DataFrame:
                     continue
                 ids.append(mid)
                 vecs.append(_embed_payload(payload, fake))
-            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+            if not ids:
+                # An all-filtered batch must yield nothing: an EMPTY
+                # "embedding" column defaults to float64 in pandas and
+                # Arrow refuses ndarray→list conversion (measured:
+                # NumPyConverter error on mixed-kind media frames).
+                continue
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype="int64"),
+                    "embedding": pd.Series(vecs, dtype="object"),
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, _EMBED_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------- audio
+
+AUDIO_EMBED_DIM = 81  # 9 frames × 9 bands (the audiofp grid)
+
+
+def band_energy_features(
+    samples: list[int], n_channels: int = 1
+) -> list[float]:
+    """81-float unit-L2 audio descriptor: the same mono-mean →
+    1152-sample grid → 9 frames × 9 band energies as
+    ``audiofp.audio_fingerprint64``, but kept as VALUES instead of
+    being thresholded to double-delta sign bits — log-compressed then
+    mean-centered (a uniform volume scale c adds the constant 2·log c
+    to every log-energy, which centering removes — volume invariance
+    measured at cosine 1.0 to 1e-12) then unit-normalized for the
+    decimal-exact dot product. Measured margins on the multi-tone
+    fixture grid (4 clips × PCM16/μ-law/A-law/ADPCM): within-clip
+    cosine ≥ 0.983, cross-clip ≤ 0.838."""
+    from .audiofp import _band_energies, _FRAME_LEN, _FRAMES, _HOP, _N
+
+    if n_channels < 1 or len(samples) % n_channels:
+        raise ValueError("samples must interleave n_channels evenly")
+    n_frames_in = len(samples) // n_channels
+    if n_frames_in == 0:
+        return [0.0] * AUDIO_EMBED_DIM
+    mono = [
+        sum(samples[i * n_channels + c] for c in range(n_channels))
+        / n_channels
+        for i in range(n_frames_in)
+    ]
+    grid = [mono[i * n_frames_in // _N] for i in range(_N)]
+    logs = []
+    for f in range(_FRAMES):
+        for e in _band_energies(grid[f * _HOP : f * _HOP + _FRAME_LEN]):
+            logs.append(math.log(e + 1.0))
+    mu = sum(logs) / len(logs)
+    cen = [v - mu for v in logs]
+    norm = math.sqrt(sum(v * v for v in cen))
+    if norm == 0.0:
+        return cen
+    return [v / norm for v in cen]
+
+
+def _audio_embed_payload(payload: bytes, fake: bool) -> list[float]:
+    """Codec stub contract, mirror of ``audiofp._afp_payload``."""
+    from .multimodal import decode_wav
+
+    payload = bytes(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            d = decode_wav(payload)
+        except ValueError:
+            if not fake:
+                raise
+        else:
+            return band_energy_features(d["samples"], d["n_channels"])
+    if not fake:
+        raise NotImplementedError(
+            "audio embeddings beyond RIFF/WAVE (PCM16, G.711, IMA ADPCM) "
+            "require an audio library not present in this environment; "
+            "pass fake=True for the deterministic stub"
+        )
+    digest = hashlib.sha256(payload).digest()
+    ext = (digest * ((AUDIO_EMBED_DIM * 2) // len(digest) + 1))[
+        : AUDIO_EMBED_DIM * 2
+    ]
+    return [
+        (int.from_bytes(ext[2 * i : 2 * i + 2], "big") - 32768) / 32768.0
+        for i in range(AUDIO_EMBED_DIM)
+    ]
+
+
+def audio_embeddings(media: DataFrame, fake: bool = True) -> DataFrame:
+    """(vec_id, embedding) for every AUDIO row — the audio twin of
+    ``image_embeddings``, same simsearch-ready shape, one Arrow
+    crossing, 81×8 B out per clip."""
+    from ..session import configure_runtime
+
+    configure_runtime(media.sparkSession)
+
+    def batches(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            ids, vecs = [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "audio":
+                    continue
+                ids.append(mid)
+                vecs.append(_audio_embed_payload(payload, fake))
+            if not ids:
+                continue  # same empty-batch Arrow rule as images
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype="int64"),
+                    "embedding": pd.Series(vecs, dtype="object"),
+                }
+            )
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         batches, _EMBED_SCHEMA

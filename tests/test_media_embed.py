@@ -108,6 +108,133 @@ def test_fake_mode_contract():
         _embed_payload(corrupt, fake=False)
 
 
+def test_audio_band_energy_features_margins():
+    # The measured basis for the audio descriptor: same-clip re-encodes
+    # across all four codings stay near 1.0, different clips separate,
+    # and a uniform volume scale is removed exactly by the
+    # log+mean-center construction (up to float residue).
+    from salesforce_postgresql_etl_spark.operators.media_embed import (
+        AUDIO_EMBED_DIM,
+        band_energy_features,
+    )
+    from salesforce_postgresql_etl_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    def _clip(seed: int, n: int = 3000) -> list[int]:
+        f1, f2 = 3 + seed % 5, 11 + seed % 7
+        return [
+            int(
+                8000 * math.sin(2 * math.pi * f1 * i / 200.0 + seed)
+                + 5000 * math.sin(2 * math.pi * f2 * i / 333.0 + 2 * seed)
+                + 2000 * math.sin(2 * math.pi * (seed + 1) * i / 47.0)
+            )
+            for i in range(n)
+        ]
+
+    vecs = {}
+    for seed in range(4):
+        c = _clip(seed)
+        for codec in ("pcm16", "ulaw", "alaw", "adpcm"):
+            d = decode_wav(encode_wav(c, codec=codec))
+            vecs[(seed, codec)] = band_energy_features(
+                d["samples"], d["n_channels"]
+            )
+    assert all(len(v) == AUDIO_EMBED_DIM == 81 for v in vecs.values())
+    within = [
+        _cos(vecs[(s, "pcm16")], vecs[(s, c)])
+        for s in range(4)
+        for c in ("ulaw", "alaw", "adpcm")
+    ]
+    cross = [
+        _cos(vecs[(a, "pcm16")], vecs[(b, "pcm16")])
+        for a in range(4)
+        for b in range(a + 1, 4)
+    ]
+    assert min(within) > 0.97
+    assert max(cross) < 0.9
+    base = _clip(1)
+    loud = [x * 3 for x in base]
+    assert (
+        _cos(band_energy_features(base), band_energy_features(loud))
+        > 1 - 1e-9
+    )
+
+
+def test_embed_lsh_pairs_over_media_embeddings(spark):
+    """The pair-style bridge: image + audio embeddings feed
+    simsearch.neardup_embed_pairs, sign-plane LSH ≡ brute, every
+    cross-codec duplicate group recovered with no cross-group pair.
+    Embeddings are checkpointed first (the decode-once rule — the pair
+    search references its input on both sides)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from salesforce_postgresql_etl_spark.operators.jpeg import encode_jpeg
+    from salesforce_postgresql_etl_spark.operators.media_embed import (
+        audio_embeddings,
+    )
+    from salesforce_postgresql_etl_spark.operators.multimodal import encode_wav
+    from salesforce_postgresql_etl_spark.operators.simsearch import (
+        neardup_embed_pairs,
+    )
+
+    def _clip(seed: int, n: int = 3000) -> list[int]:
+        f1, f2 = 3 + seed % 5, 11 + seed % 7
+        return [
+            int(
+                8000 * math.sin(2 * math.pi * f1 * i / 200.0 + seed)
+                + 5000 * math.sin(2 * math.pi * f2 * i / 333.0 + 2 * seed)
+                + 2000 * math.sin(2 * math.pi * (seed + 1) * i / 47.0)
+            )
+            for i in range(n)
+        ]
+
+    rows = []
+    for seed in range(3):
+        px = _scene(seed)
+        for j, payload in enumerate(
+            (encode_bmp(px), encode_png(px), encode_jpeg(px, quality=90))
+        ):
+            rows.append(
+                (seed * 3 + j, "image", payload, (None, None, None, "img"))
+            )
+    for seed in range(3):
+        c = _clip(seed)
+        for j, codec in enumerate(("pcm16", "ulaw", "adpcm")):
+            rows.append(
+                (
+                    100 + seed * 3 + j,
+                    "audio",
+                    encode_wav(c, codec=codec),
+                    (None, None, 16000, codec),
+                )
+            )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for emb_fn, base in ((image_embeddings, 0), (audio_embeddings, 100)):
+        emb = emb_fn(media, fake=False).localCheckpoint(eager=True)
+        brute = {
+            (r.vec_a, r.vec_b)
+            for r in neardup_embed_pairs(
+                emb, threshold=0.95, strategy="brute"
+            ).collect()
+        }
+        lsh = {
+            (r.vec_a, r.vec_b)
+            for r in neardup_embed_pairs(
+                emb, threshold=0.95, strategy="lsh"
+            ).collect()
+        }
+        assert lsh == brute
+        expect = {
+            (base + s * 3 + i, base + s * 3 + j)
+            for s in range(3)
+            for i in range(3)
+            for j in range(i + 1, 3)
+        }
+        assert brute == expect
+
+
 def test_topk_cosine_over_image_embeddings(spark):
     """End-to-end bridge: 4 scenes × 3 encodings → embeddings →
     simsearch.topk_cosine(brute). Each query's 2 nearest neighbors
