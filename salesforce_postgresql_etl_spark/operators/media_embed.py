@@ -38,6 +38,7 @@ import math
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -170,6 +171,84 @@ def image_embeddings(media: DataFrame, fake: bool = True) -> DataFrame:
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         batches, _EMBED_SCHEMA
+    )
+
+
+def video_embeddings(
+    media: DataFrame, n_frames: int = 3, fake: bool = True
+) -> DataFrame:
+    """(vec_id, embedding) for every VIDEO row: the unit-mean of the
+    per-sampled-frame DCT descriptors (mean of unit vectors,
+    re-normalized — the standard order-free pooling; the per-dimension
+    mean uses ``mean_q40`` so it is order-INDEPENDENT under any
+    partitioning, the repo's determinism doctrine for float
+    aggregation). A clip and its re-encode in
+    another container pool the same frame descriptors → cosine ≈ 1;
+    cross-clip frames decorrelate. Composes ``multimodal.sample_frames``
+    (real GIF/AVI demux) with ``dct_features`` — payloads cross into
+    Python once (the demux), frames once more (63 floats out per clip
+    total), same decode-once discipline as ``video_phash``."""
+    from ..session import configure_runtime
+    from .multimodal import sample_frames
+
+    configure_runtime(media.sparkSession)
+    frames = sample_frames(media, n_frames=n_frames, fake=fake)
+
+    def batches(it: Iterator):
+        import pandas as pd
+
+        for pdf in it:
+            ids, vecs = [], []
+            for mid, frame in zip(pdf["media_id"], pdf["frame"]):
+                ids.append(mid)
+                vecs.append(_embed_payload(frame, fake))
+            if not ids:
+                continue  # same empty-batch Arrow rule as above
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype="int64"),
+                    "embedding": pd.Series(vecs, dtype="object"),
+                }
+            )
+
+    per_frame = frames.select("media_id", "frame").mapInPandas(
+        batches, _EMBED_SCHEMA
+    )
+    # Pool map-side-combinable: per-dimension mean over the clip's
+    # frames (posexplode → avg), then re-normalize. All JVM exprs past
+    # the frame hash — only 63-float rows ever aggregate.
+    from .simsearch import mean_q40
+
+    exploded = per_frame.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+    pooled = (
+        exploded.groupBy("vec_id", "pos")
+        .agg(mean_q40(F.col("val")).alias("val"))
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "val"))
+            ).alias("pv")
+        )
+        .select(
+            "vec_id",
+            F.transform(F.col("pv"), lambda s: s["val"]).alias("m"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("m"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return pooled.select(
+        "vec_id",
+        F.when(
+            norm > 0.0,
+            F.transform(F.col("m"), lambda x: x / norm),
+        )
+        .otherwise(F.col("m"))
+        .alias("embedding"),
     )
 
 

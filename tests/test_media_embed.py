@@ -235,6 +235,64 @@ def test_embed_lsh_pairs_over_media_embeddings(spark):
         assert brute == expect
 
 
+def test_video_embeddings_cross_container(spark):
+    """Clip-level pooled descriptor: the same clip as GIF and DIB-AVI
+    pools identical frame descriptors (cosine ≈ 1, here exact frame
+    decode so ≥ 1-1e-9); different clips separate. Pooling uses the
+    order-independent mean, so the embedding is partition-stable."""
+    from salesforce_postgresql_etl_spark.operators.avi import encode_avi
+    from salesforce_postgresql_etl_spark.operators.gif import encode_gif
+    from salesforce_postgresql_etl_spark.operators.media_embed import (
+        video_embeddings,
+    )
+
+    def _vframe(seed: int, t: int, w: int = 48, h: int = 32):
+        bx, by = 4 + 2 * (seed % 3), 3 + (seed % 4)
+        pal = [
+            (
+                (37 * seed + 61 * k) % 256,
+                (91 * seed + 43 * k) % 256,
+                (29 * seed + 83 * k) % 256,
+            )
+            for k in range(8)
+        ]
+        if seed % 2:
+            return [
+                [pal[((x // bx) * (y // by) + t) % 8] for x in range(w)]
+                for y in range(h)
+            ]
+        return [
+            [pal[((x // bx) + (y // by) + t) % 8] for x in range(w)]
+            for y in range(h)
+        ]
+
+    rows = []
+    for seed in range(3):
+        frames = [_vframe(seed, t) for t in range(4)]
+        rows.append(
+            (seed * 2, "video", encode_gif(frames), (None, None, None, "gif"))
+        )
+        rows.append(
+            (
+                seed * 2 + 1,
+                "video",
+                encode_avi(frames, codec="dib"),
+                (None, None, None, "avi"),
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r.vec_id: list(r.embedding)
+        for r in video_embeddings(media, n_frames=3, fake=False).collect()
+    }
+    assert set(out) == set(range(6))
+    for seed in range(3):
+        assert _cos(out[2 * seed], out[2 * seed + 1]) > 1 - 1e-9
+    for a in range(3):
+        for b in range(a + 1, 3):
+            assert _cos(out[2 * a], out[2 * b]) < 0.9
+
+
 def test_topk_cosine_over_image_embeddings(spark):
     """End-to-end bridge: 4 scenes × 3 encodings → embeddings →
     simsearch.topk_cosine(brute). Each query's 2 nearest neighbors
