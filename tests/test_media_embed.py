@@ -293,6 +293,65 @@ def test_video_embeddings_cross_container(spark):
             assert _cos(out[2 * a], out[2 * b]) < 0.9
 
 
+def test_trained_index_paths_over_image_embeddings(spark):
+    """The TRAINED-index halves of the 'ANN applies unchanged' claim:
+    k-means → IVF probe, and PQ encode → ADC shortlist → exact rerank,
+    both over image embeddings, both returning each query's own
+    re-encodes as nearest neighbors."""
+    from pyspark.sql import functions as F
+
+    from salesforce_postgresql_etl_spark.operators.jpeg import encode_jpeg
+    from salesforce_postgresql_etl_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from salesforce_postgresql_etl_spark.operators.simsearch import (
+        kmeans_centroids,
+        topk_cosine,
+        with_kmeans_labels,
+    )
+
+    rows = []
+    for seed in range(4):
+        px = _scene(seed)
+        for j, payload in enumerate(
+            (encode_bmp(px), encode_png(px), encode_jpeg(px, quality=90))
+        ):
+            rows.append(
+                (seed * 3 + j, "image", payload, (None, None, None, "img"))
+            )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    emb = image_embeddings(media, fake=False).localCheckpoint(eager=True)
+    queries = emb.where(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+
+    # IVF: train k=4 (one list per scene on this corpus — farthest-
+    # first seeding separates the four well-separated scene clusters),
+    # probe only the nearest list.
+    cents = kmeans_centroids(emb, k=4, iters=3)
+    labeled = with_kmeans_labels(emb, cents)
+    ivf = topk_cosine(
+        labeled, queries, k=2, strategy="ivf", nprobe=1, centroids=cents
+    ).collect()
+    assert len(ivf) == 8
+    for r in ivf:
+        assert r.qid // 3 == r.vec_id // 3
+        assert r.cosine > 0.99
+
+    # PQ: 63 dims → m=7 subspaces of 9 dims, ADC shortlist, exact
+    # rerank — the compressed-corpus path.
+    cb = pq_train(emb, m=7, k=8, iters=2, init="md5")
+    codes = pq_encode(emb, cb)
+    pq = pq_topk(
+        codes, cb, queries, k=2, rerank_with=emb, shortlist=6
+    ).collect()
+    assert len(pq) == 8
+    for r in pq:
+        assert r.qid // 3 == r.vec_id // 3
+
+
 def test_topk_cosine_over_image_embeddings(spark):
     """End-to-end bridge: 4 scenes × 3 encodings → embeddings →
     simsearch.topk_cosine(brute). Each query's 2 nearest neighbors
