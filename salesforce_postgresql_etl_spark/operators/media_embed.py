@@ -186,8 +186,9 @@ def video_embeddings(
     another container pool the same frame descriptors → cosine ≈ 1;
     cross-clip frames decorrelate. Composes ``multimodal.sample_frames``
     (real GIF/AVI demux) with ``dct_features`` — payloads cross into
-    Python once (the demux), frames once more (63 floats out per clip
-    total), same decode-once discipline as ``video_phash``."""
+    Python once (the demux), frames once more (63 floats per FRAME out
+    of that crossing; pooling to the one 63-float clip vector is JVM
+    aggregation), same decode-once discipline as ``video_phash``."""
     from ..session import configure_runtime
     from .multimodal import sample_frames
 
@@ -254,7 +255,13 @@ def video_embeddings(
 
 # ---------------------------------------------------------------- audio
 
-AUDIO_EMBED_DIM = 81  # 9 frames × 9 bands (the audiofp grid)
+from .audiofp import _BANDS as _AFP_BANDS  # noqa: E402
+from .audiofp import _FRAMES as _AFP_FRAMES  # noqa: E402
+
+# 9 frames × 9 bands = 81, DERIVED from the audiofp grid so the
+# pseudo-vector dimension can never silently desync from the real one
+# if the measured frame design ever changes.
+AUDIO_EMBED_DIM = _AFP_FRAMES * _AFP_BANDS
 
 
 def band_energy_features(
