@@ -200,10 +200,29 @@ def main() -> None:
     # (lossless / JPEG re-encodes move ≤2 bits), audio at 15 (G.711 /
     # ADPCM re-encodes measured ≤12 — max_hamming=3 would miss true
     # cross-codec dups by design, not by bug).
+    def _embed_lsh(m):
+        # The embedding-family mirror of the hash passes: decode →
+        # 63-float descriptor (checkpointed, decode-once) → sign-plane
+        # LSH pair search. Shuffle = band rows + verified candidate
+        # vectors, never payloads.
+        from salesforce_postgresql_etl_spark.operators.media_embed import (
+            image_embeddings,
+        )
+        from salesforce_postgresql_etl_spark.operators.simsearch import (
+            neardup_embed_pairs,
+        )
+
+        emb = image_embeddings(m, fake=False).localCheckpoint(eager=True)
+        return neardup_embed_pairs(
+            emb, threshold=0.95, strategy="lsh", persist=True
+        )
+
     passes = [
-        ("image", n_img, lambda m: phash_neardup(m, 3, fake=False)),
-        ("audio", n_aud, lambda m: audio_neardup(m, 15, fake=False)),
+        ("image", "image", n_img, lambda m: phash_neardup(m, 3, fake=False)),
+        ("image-embed", "image", n_img, _embed_lsh),
+        ("audio", "audio", n_aud, lambda m: audio_neardup(m, 15, fake=False)),
         (
+            "video",
             "video",
             n_vid,
             lambda m: video_neardup(m, 3, n_frames=3, fake=False),
@@ -212,7 +231,7 @@ def main() -> None:
     out = {}
     seen: set[int] = set()
     seen_execs: set[int] = set()
-    for kind, n, run in passes:
+    for name, kind, n, run in passes:
         media = _build_media(spark, kind, n)
         payload_mb = (
             media.agg(F.sum(F.length("payload")).alias("b")).collect()[0]["b"]
@@ -258,8 +277,8 @@ def main() -> None:
                 1 for nn in nodes if "ReusedExchange" in nn
             ),
         }
-        out[kind] = rec
-        print(json.dumps({"modality": kind, **rec}), flush=True)
+        out[name] = rec
+        print(json.dumps({"modality": name, **rec}), flush=True)
     print(
         json.dumps(
             {

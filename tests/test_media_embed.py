@@ -293,6 +293,59 @@ def test_video_embeddings_cross_container(spark):
             assert _cos(out[2 * a], out[2 * b]) < 0.9
 
 
+def test_video_embedding_partition_stability(spark):
+    """The pooling claim made checkable: because the per-dimension
+    mean is ``mean_q40`` (order-independent quantized mean), the clip
+    embedding is BIT-IDENTICAL under any input partitioning — the
+    cluster-resize guarantee applied to media."""
+    from salesforce_postgresql_etl_spark.operators.avi import encode_avi
+    from salesforce_postgresql_etl_spark.operators.gif import encode_gif
+    from salesforce_postgresql_etl_spark.operators.media_embed import (
+        video_embeddings,
+    )
+
+    def _vframe(seed: int, t: int, w: int = 32, h: int = 24):
+        bx, by = 4 + 2 * (seed % 3), 3 + (seed % 4)
+        pal = [
+            (
+                (37 * seed + 61 * k) % 256,
+                (91 * seed + 43 * k) % 256,
+                (29 * seed + 83 * k) % 256,
+            )
+            for k in range(8)
+        ]
+        return [
+            [pal[((x // bx) + (y // by) + t) % 8] for x in range(w)]
+            for y in range(h)
+        ]
+
+    rows = []
+    for seed in range(4):
+        frames = [_vframe(seed, t) for t in range(4)]
+        rows.append(
+            (seed, "video", encode_gif(frames), (None, None, None, "gif"))
+        )
+        rows.append(
+            (
+                10 + seed,
+                "video",
+                encode_avi(frames, codec="dib"),
+                (None, None, None, "avi"),
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    outs = []
+    for nparts in (1, 13):
+        out = {
+            r.vec_id: list(r.embedding)
+            for r in video_embeddings(
+                media.repartition(nparts), n_frames=3, fake=False
+            ).collect()
+        }
+        outs.append(out)
+    assert outs[0] == outs[1]  # bit-identical, not merely close
+
+
 def test_trained_index_paths_over_image_embeddings(spark):
     """The TRAINED-index halves of the 'ANN applies unchanged' claim:
     k-means → IVF probe, and PQ encode → ADC shortlist → exact rerank,
