@@ -195,7 +195,7 @@ def video_phash(
 ) -> DataFrame:
     """(media_id, frame_idx, phash) — one perceptual hash per sampled
     frame of every VIDEO row. Composes the two real pipelines:
-    ``multimodal.sample_frames`` demuxes GIF/AVI clips into PNG
+    ``multimodal.sample_frames`` demuxes GIF/AVI/Y4M clips into PNG
     frames, and each frame rides the image hash above. Two Arrow
     crossings total (the sample fan-out, then an 8-byte-per-frame
     projection); payload bytes never shuffle past the sampler."""

@@ -27,6 +27,7 @@ from salesforce_postgresql_etl_spark.operators.multimodal import (
     encode_ppm,
     encode_wav,
 )
+from salesforce_postgresql_etl_spark.operators.y4m import encode_y4m
 
 
 def _gradient(w, h):
@@ -56,6 +57,12 @@ def _fixtures():
         ("image", encode_gif([px]), "gif_img"),
         ("video", encode_avi([px, _gradient(9, 7)]), "avi"),
         ("video", encode_avi([px, _gradient(9, 7)], codec="mjpeg"), "mjpeg"),
+        ("video", encode_y4m([px, _gradient(9, 7)]), "y4m"),
+        (
+            "video",
+            encode_y4m([_gradient(8, 6), _gradient(8, 6)], colorspace="420jpeg"),
+            "y4m420",
+        ),
     ]
 
 

@@ -86,9 +86,10 @@ def _vframe(seed: int, t: int, w: int = 48, h: int = 32):
 def _mixed_corpus(spark):
     """One media table, three modalities, disjoint id ranges:
     images 0..11 (4 scenes × BMP/PNG/JPEG), audio 100..111 (4 clips ×
-    PCM16/μ-law/ADPCM), video 200..205 (3 clips × GIF/DIB-AVI)."""
+    PCM16/μ-law/ADPCM), video 200..208 (3 clips × GIF/DIB-AVI/Y4M)."""
     from salesforce_postgresql_etl_spark.operators.avi import encode_avi
     from salesforce_postgresql_etl_spark.operators.gif import encode_gif
+    from salesforce_postgresql_etl_spark.operators.y4m import encode_y4m
     from salesforce_postgresql_etl_spark.operators.jpeg import encode_jpeg
 
     rows = []
@@ -121,7 +122,11 @@ def _mixed_corpus(spark):
     for seed in range(3):
         frames = [_vframe(seed, t) for t in range(4)]
         members = set()
-        for payload in (encode_gif(frames), encode_avi(frames, codec="dib")):
+        for payload in (
+            encode_gif(frames),
+            encode_avi(frames, codec="dib"),
+            encode_y4m(frames),
+        ):
             rows.append((mid, "video", payload, (None, None, None, "vid")))
             members.add(mid)
             mid += 1
