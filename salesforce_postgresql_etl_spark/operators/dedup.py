@@ -237,6 +237,24 @@ def neardup_pairs(
     return _exact_jaccard(pairs, threshold)
 
 
+def band_signatures(
+    docs: DataFrame,
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    tokenizer: str = "words",
+) -> DataFrame:
+    """(doc_id, band, bh, sz) — the MinHash-LSH bucket rows for a
+    corpus, as a PUBLIC materialization surface (r7): write these
+    alongside the kept corpus and future ingests equi-join the stored
+    buckets instead of re-hashing history (pass them to
+    ``neardup_pairs_cross(corpus_bands=...)``). Built through the
+    same ``_minhash_band_rows`` as every search path, so signatures
+    are comparable across batches and rounds by construction."""
+    if (n_hashes // bands) * bands != n_hashes:
+        raise ValueError("n_hashes must be divisible by bands")
+    return _minhash_band_rows(token_sets(docs, tokenizer=tokenizer), n_hashes, bands)
+
+
 def neardup_pairs_cross(
     new_docs: DataFrame,
     corpus: DataFrame,
@@ -246,6 +264,7 @@ def neardup_pairs_cross(
     bands: int = DEFAULT_BANDS,
     tokenizer: str = "words",
     persist: bool = False,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Bipartite near-dup: (doc_a ∈ new_docs, doc_b ∈ corpus) pairs with
     Jaccard ≥ threshold — "which incoming documents already exist in
@@ -258,8 +277,18 @@ def neardup_pairs_cross(
     production pipeline MATERIALIZES once (write them with the corpus;
     at 100 TB the nightly batch hashes only itself and equi-joins the
     stored buckets — corpus text is re-read only for the exact-verify
-    of candidate hits, a pushed-down semi-join-sized read).
+    of candidate hits, a pushed-down semi-join-sized read). Since r7
+    that path is implemented, not just described: pass
+    ``corpus_bands`` (the ``band_signatures`` table, same
+    n_hashes/bands/tokenizer as this call) and the corpus is neither
+    re-tokenized nor re-hashed for candidates — only the
+    candidate-hit subset is tokenized for the exact verify, behind a
+    semi join that prunes the corpus scan. Output is identical to the
+    re-hash path (pytest-pinned) because ``_minhash_band_rows`` is
+    deterministic in its input rows.
     """
+    if corpus_bands is not None and strategy != "minhash":
+        raise ValueError("corpus_bands requires strategy='minhash'")
     tok_a = token_sets(new_docs, tokenizer=tokenizer)
     tok_b = token_sets(corpus, tokenizer=tokenizer)
     if strategy == "minhash" and persist:
@@ -268,7 +297,12 @@ def neardup_pairs_cross(
         # twice per side (measured 14.5 s -> 2.6 s at sf0.1; production
         # stores the corpus band rows on disk instead)
         tok_a = tok_a.persist(StorageLevel.MEMORY_AND_DISK)
-        tok_b = tok_b.persist(StorageLevel.MEMORY_AND_DISK)
+        if corpus_bands is None:
+            # with stored bands the corpus tokenization runs exactly
+            # once (the pruned verify below) — persisting it would
+            # materialize the full-corpus tokenize the stored bands
+            # exist to avoid
+            tok_b = tok_b.persist(StorageLevel.MEMORY_AND_DISK)
     a = tok_a.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
     b = tok_b.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
 
@@ -282,18 +316,34 @@ def neardup_pairs_cross(
     ba = _minhash_band_rows(tok_a, n_hashes, bands).select(
         F.col("doc_id").alias("doc_a"), "band", "bh", F.col("sz").alias("sz_a")
     )
-    bb = _minhash_band_rows(tok_b, n_hashes, bands).select(
+    bb = (corpus_bands if corpus_bands is not None else _minhash_band_rows(
+        tok_b, n_hashes, bands
+    )).select(
         F.col("doc_id").alias("doc_b"), "band", "bh", F.col("sz").alias("sz_b")
     )
     if persist:
         ba = ba.persist(StorageLevel.MEMORY_AND_DISK)
-        bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
+        if corpus_bands is None:
+            bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
     candidates = (
         ba.join(bb, ["band", "bh"])
         .where(_size_compatible(threshold))  # lossless — see docstring
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if corpus_bands is not None:
+        # stored-signature path: tokenize ONLY the candidate-hit
+        # subset of the corpus — the semi join prunes the text scan to
+        # verify-sized reads (the "pushed-down semi-join-sized read"
+        # the docstring promises). The candidate table is referenced
+        # twice here (verify join + this pruning semi join), so the
+        # decode-once rule applies under ``persist``.
+        if persist:
+            candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+        hit_ids = candidates.select(F.col("doc_b").alias("doc_id")).distinct()
+        b = token_sets(
+            corpus.join(hit_ids, "doc_id", "left_semi"), tokenizer=tokenizer
+        ).select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
     pairs = (
         candidates.join(a, "doc_a")
         .join(b, "doc_b")

@@ -378,3 +378,108 @@ def incremental_agg_stream_sink(
         )
 
     return apply
+
+
+def neardup_stream_sink(
+    corpus_dir: str,
+    threshold: float = 0.95,
+    n_hashes: int | None = None,
+    bands: int | None = None,
+    tokenizer: str = "words",
+):
+    """foreachBatch function maintaining a NEAR-DUP-FREE corpus from a
+    stream of document micro-batches — dedup-on-ingest, the streaming
+    closure of ``neardup_pairs_cross`` (T5's exact streaming dedup
+    generalized to Jaccard similarity; the shape every continuous
+    crawl-ingest pipeline runs at 100 TB).
+
+    Per micro-batch, two passes:
+    1. WITHIN-batch: MinHash-LSH self pairs → ``dedup_clusters`` →
+       non-canonical members dropped (transitive, min-doc_id
+       canonical — identical semantics to the batch corpus build).
+    2. CROSS-batch: survivors checked against the KEPT corpus through
+       the stored-signature path (``corpus_bands=`` — history is
+       never re-tokenized or re-hashed; only candidate hits are read
+       back for the exact verify). Any survivor with Jaccard ≥
+       threshold against a kept doc is dropped.
+    Kept docs and their ``band_signatures`` rows are APPENDED to
+    ``corpus_dir/docs`` and ``corpus_dir/bands`` — append-only state,
+    no rewrite of history (unlike the SCD2/agg sinks there is no
+    read-merge-overwrite cycle to guard).
+
+    Semantics contract (pinned in tests/test_neardup_stream.py): this
+    is ONLINE dedup — every kept doc is pairwise below-threshold
+    against every other kept doc. When duplicate groups are CLIQUES
+    (each member similar to each member) the kept set equals the
+    batch-mode canonical-survivor set regardless of how the stream
+    was chunked. For transitive CHAINS split across batches the two
+    differ by construction (batch mode merges A–B–C through a dropped
+    middle B; online mode never sees B again) — the divergence case
+    is itself pinned, not papered over.
+    """
+    import os
+
+    from ..operators.clustering import dedup_clusters
+    from ..operators.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_N_HASHES,
+        band_signatures,
+        neardup_pairs,
+        neardup_pairs_cross,
+    )
+
+    n_hashes = DEFAULT_N_HASHES if n_hashes is None else n_hashes
+    bands = DEFAULT_BANDS if bands is None else bands
+    docs_dir = os.path.join(corpus_dir, "docs")
+    bands_dir = os.path.join(corpus_dir, "bands")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text")
+        if batch.isEmpty():
+            return
+        wpairs = neardup_pairs(
+            batch,
+            threshold=threshold,
+            strategy="minhash",
+            n_hashes=n_hashes,
+            bands=bands,
+            tokenizer=tokenizer,
+        ).select("doc_a", "doc_b")
+        dropped = (
+            dedup_clusters(wpairs)
+            .where(F.col("is_canonical") == 0)
+            .select("doc_id")
+        )
+        survivors = batch.join(dropped, "doc_id", "left_anti")
+        stored_bands = _read_state_or_none(spark, bands_dir)
+        if stored_bands is not None:
+            corpus = spark.read.parquet(docs_dir)
+            hits = neardup_pairs_cross(
+                survivors,
+                corpus,
+                threshold=threshold,
+                strategy="minhash",
+                n_hashes=n_hashes,
+                bands=bands,
+                tokenizer=tokenizer,
+                # persist=False: the recomputed subtrees are all
+                # MICRO-BATCH-sized (tok_a, candidates); the corpus-
+                # sized work is already cut by corpus_bands, and a
+                # library sink must not leave cache residue in the
+                # caller's session (r4 rule) — clearCache() here would
+                # drop the caller's own caches too
+                corpus_bands=stored_bands,
+            )
+            dup_ids = hits.select(F.col("doc_a").alias("doc_id")).distinct()
+            survivors = survivors.join(dup_ids, "doc_id", "left_anti")
+        # materialize once: the survivor frame feeds BOTH appends, and
+        # its cross-batch lineage reads the state dirs being appended
+        # to — checkpoint cuts that read before the writes land
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(docs_dir)
+        band_signatures(
+            survivors, n_hashes=n_hashes, bands=bands, tokenizer=tokenizer
+        ).write.mode("append").parquet(bands_dir)
+
+    return apply

@@ -1,0 +1,195 @@
+"""Streaming near-dup ingest (streaming/jobs.py neardup_stream_sink)
+and the stored-signature path of neardup_pairs_cross (corpus_bands=).
+
+Three claims, each pinned:
+1. The corpus_bands path is OUTPUT-IDENTICAL to re-hashing the corpus
+   (band_signatures is deterministic in its input rows).
+2. Stream ≡ batch when duplicate groups are cliques: draining the
+   same docs through a real file stream (maxFilesPerTrigger=1,
+   groups split ACROSS micro-batches) keeps exactly the batch-mode
+   canonical-survivor set.
+3. The documented online-vs-global divergence on transitive chains is
+   pinned as behavior, not papered over: a chain A–B–C whose middle
+   arrives (and is dropped) in an earlier batch keeps {A, C} online
+   where global clustering keeps {A}.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from salesforce_postgresql_etl_spark.operators.clustering import dedup_clusters
+from salesforce_postgresql_etl_spark.operators.dedup import (
+    band_signatures,
+    neardup_pairs,
+    neardup_pairs_cross,
+)
+from salesforce_postgresql_etl_spark.streaming.jobs import neardup_stream_sink
+
+THETA = 0.8
+# banding retuned for the test threshold per neardup_pairs' docstring:
+# the word-token default r=8/b=8 misses ~17-23% of boundary pairs at
+# θ=0.8 (and DID miss the chain test's J=0.818 pair deterministically);
+# r=4/b=16 has boundary miss probability ≈7e-5
+BANDING = {"n_hashes": 64, "bands": 16}
+
+
+def _doc(tokens):
+    return " ".join(tokens)
+
+
+def _clique_docs():
+    """4 duplicate groups, each a CLIQUE at θ=0.8 (20 shared tokens +
+    1 unique per member → pairwise J = 20/22 ≈ 0.909), plus two
+    singletons. Group token spaces are disjoint → cross-group J = 0."""
+    docs = []
+    for g in range(4):
+        shared = [f"g{g}w{i}" for i in range(20)]
+        for m in range(3):
+            docs.append((g * 10 + m, _doc(shared + [f"g{g}u{m}"])))
+    docs.append((100, _doc([f"s1w{i}" for i in range(15)])))
+    docs.append((101, _doc([f"s2w{i}" for i in range(15)])))
+    return docs
+
+
+def _batch_survivors(spark, docs):
+    """Global batch reference: brute pairs → clusters → canonical +
+    singleton doc_ids."""
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = neardup_pairs(df, threshold=THETA, strategy="brute").select(
+        "doc_a", "doc_b"
+    )
+    dropped = (
+        dedup_clusters(pairs).where(F.col("is_canonical") == 0).select("doc_id")
+    )
+    return {
+        r.doc_id for r in df.join(dropped, "doc_id", "left_anti").collect()
+    }
+
+
+def test_corpus_bands_path_identical(spark):
+    """Claim 1: stored signatures ≡ re-hash, pair-for-pair including
+    the exact jaccard values."""
+    docs = _clique_docs()
+    corpus = spark.createDataFrame(docs[:8], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(d + 1000, t) for d, t in docs[4:]], "doc_id long, text string"
+    )
+    rehash = sorted(
+        tuple(r)
+        for r in neardup_pairs_cross(
+            new, corpus, threshold=THETA, strategy="minhash", **BANDING
+        ).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in neardup_pairs_cross(
+            new,
+            corpus,
+            threshold=THETA,
+            strategy="minhash",
+            corpus_bands=band_signatures(corpus, **BANDING),
+            **BANDING,
+        ).collect()
+    )
+    assert rehash == stored
+    assert len(stored) > 0  # non-vacuous: the overlap groups do hit
+
+
+def test_corpus_bands_requires_minhash(spark):
+    import pytest
+
+    corpus = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        neardup_pairs_cross(
+            corpus, corpus, strategy="brute", corpus_bands=band_signatures(corpus)
+        )
+
+
+def _drain_stream(spark, tmp_path, batches, sink):
+    """Write each batch as one parquet file dir entry, drain with
+    maxFilesPerTrigger=1 + availableNow, apply the foreachBatch sink."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_equals_batch_on_cliques(spark, tmp_path):
+    """Claim 2: groups split across micro-batches; online survivors ==
+    global batch survivors because every group is a clique."""
+    docs = _clique_docs()
+    # interleave so every clique spans at least two micro-batches
+    batches = [docs[0::3], docs[1::3], docs[2::3]]
+    corpus_dir = str(tmp_path / "corpus")
+    _drain_stream(
+        spark, tmp_path, batches, neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    )
+    kept = {
+        r.doc_id for r in spark.read.parquet(corpus_dir + "/docs").collect()
+    }
+    assert kept == _batch_survivors(spark, docs)
+    # state invariant: one band-row group per kept doc
+    band_docs = {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/bands")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert band_docs == kept
+
+
+def test_stream_chain_divergence_pinned(spark, tmp_path):
+    """Claim 3: A–B–C chain, B dropped in batch 1 as A's dup, C in
+    batch 2. J(A,B)=J(B,C)≈0.82 ≥ θ, J(A,C)≈0.67 < θ. Online keeps
+    {A, C}; global clustering keeps {A}. Both pinned."""
+    base = [f"w{i}" for i in range(1, 21)]  # B = {w1..w20}
+    a_doc = _doc(base[:18] + ["x1", "x2"])  # J(A,B) = 18/22
+    b_doc = _doc(base)
+    c_doc = _doc(base[2:] + ["y1", "y2"])  # J(B,C) = 18/22, J(A,C) = 16/24
+    docs = [(1, a_doc), (2, b_doc), (3, c_doc)]
+    corpus_dir = str(tmp_path / "corpus")
+    _drain_stream(
+        spark,
+        tmp_path,
+        [docs[:2], docs[2:]],
+        neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING),
+    )
+    kept = {
+        r.doc_id for r in spark.read.parquet(corpus_dir + "/docs").collect()
+    }
+    assert kept == {1, 3}  # online: C never sees the dropped B
+    assert _batch_survivors(spark, docs) == {1}  # global: chain merges
+
+
+def test_stream_every_kept_pair_below_threshold(spark, tmp_path):
+    """The sink's core guarantee, checked directly on the final state:
+    no two kept docs are near-dups (brute all-pairs over the kept
+    corpus is empty at θ)."""
+    docs = _clique_docs()
+    batches = [docs[0::3], docs[1::3], docs[2::3]]
+    corpus_dir = str(tmp_path / "corpus")
+    _drain_stream(
+        spark, tmp_path, batches, neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    )
+    kept_df = spark.read.parquet(corpus_dir + "/docs")
+    viol = neardup_pairs(kept_df, threshold=THETA, strategy="brute").count()
+    assert viol == 0
