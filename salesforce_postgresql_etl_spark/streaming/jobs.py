@@ -16,6 +16,7 @@ the state store so a 100 TB/day stream holds only the open windows.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -296,6 +297,68 @@ def _read_state_or_none(spark, state_dir: str):
         raise
 
 
+def _state_versions(spark, state_dir: str) -> list[int]:
+    """Sorted COMMITTED version numbers under a versioned state dir.
+
+    A version is a ``v=<batch_id>`` subdirectory; it counts only once
+    its ``_SUCCESS`` marker exists (FileOutputCommitter writes that
+    last, so a crash mid-write leaves an ignorable partial dir, never
+    a half-read). Listed through the Hadoop FileSystem API so the same
+    code addresses local disk, HDFS, or an object store."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if name.startswith("v=") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def read_state(
+    spark, state_dir: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Latest committed state version, or None if none exists yet.
+
+    ``before_batch=N`` reads the newest version STRICTLY OLDER than
+    batch N — the merge basis a replay of batch N must use, so that
+    re-running N reproduces the identical result instead of
+    re-merging its own output (see the sink docstrings)."""
+    versions = [
+        v
+        for v in _state_versions(spark, state_dir)
+        if before_batch is None or v < before_batch
+    ]
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, f"v={versions[-1]}"))
+
+
+def _write_state_version(
+    df: DataFrame, state_dir: str, batch_id: int, keep: int = 2
+) -> None:
+    """Commit ``df`` as state version ``batch_id``, pruning all but the
+    newest ``keep`` committed versions.
+
+    keep=2 is the replay floor: after batch N commits, a replay of N
+    (the only batch the engine can re-run — older ones are sealed in
+    the streaming checkpoint) still finds its N-1 merge basis."""
+    spark = df.sparkSession
+    df.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v={batch_id}")
+    )
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    for v in _state_versions(spark, state_dir)[:-keep]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(state_dir, f"v={v}"), True)
+
+
 def scd2_stream_sink(
     table_dir: str,
     key: str,
@@ -310,13 +373,23 @@ def scd2_stream_sink(
     Each micro-batch must be one complete snapshot; its effective
     timestamp is max(``ts_col``) within the batch (one 1-row driver
     collect, same budget class as the incremental watermark probe).
-    The table lives as parquet at ``table_dir``; the read-merge-
-    overwrite is made safe by materializing the merge result
-    (localCheckpoint) BEFORE the overwrite truncates the input files —
-    on a cluster, swap the parquet dir for a transactional table
-    format and drop the checkpoint. Batch order is the stream's
-    micro-batch order, so pair this with maxFilesPerTrigger=1 (or a
-    source whose batches are single snapshots).
+    The table lives as VERSIONED parquet at ``table_dir/v=<batch_id>``
+    (read it back with ``read_state``); versioning buys two production
+    properties a single overwritten dir cannot have (r7, pinned in
+    tests/test_streaming.py):
+    - replay idempotence: foreachBatch is at-least-once, and a
+      replayed batch merges against the state BEFORE itself
+      (``read_state(before_batch=batch_id)``), so re-running batch N
+      rewrites the identical v=N instead of merging its own output;
+    - crash safety: the merge result lands in a NEW directory, so a
+      crash mid-write can no longer truncate the table being read —
+      readers only see versions whose _SUCCESS marker committed (this
+      also retires the localCheckpoint the old overwrite needed).
+    On a cluster, swap the dir for a transactional table format —
+    this is that format's MVCC core in ~40 lines of parquet. Batch
+    order is the stream's micro-batch order, so pair this with
+    maxFilesPerTrigger=1 (or a source whose batches are single
+    snapshots).
     """
     from ..operators.scd import scd2_apply
 
@@ -326,17 +399,15 @@ def scd2_stream_sink(
         if ts is None:  # empty micro-batch: no snapshot, no-op
             return
         snap = batch_df.drop(ts_col)
-        current = _read_state_or_none(spark, table_dir)
+        current = read_state(spark, table_dir, before_batch=batch_id)
         if current is None:
             current = (
                 snap.limit(0)
                 .withColumn("valid_from", F.lit(None).cast("timestamp_ntz"))
                 .withColumn("valid_to", F.lit(None).cast("timestamp_ntz"))
             )
-        merged = scd2_apply(current, snap, key, tracked, str(ts)).localCheckpoint(
-            eager=True
-        )
-        merged.write.mode("overwrite").parquet(table_dir)
+        merged = scd2_apply(current, snap, key, tracked, str(ts))
+        _write_state_version(merged, table_dir, batch_id)
 
     return apply
 
@@ -357,9 +428,15 @@ def incremental_agg_stream_sink(
     state table: the history is NEVER rescanned, and because every kept
     statistic is a commutative monoid, the final state equals a
     from-scratch aggregate regardless of how the stream was chunked
-    (asserted in tests/test_streaming.py). Same overwrite-safety
-    doctrine as scd2_stream_sink: materialize (localCheckpoint) before
-    overwriting the files being read; at 100 TB swap the dir for a
+    (asserted in tests/test_streaming.py). State is VERSIONED like
+    scd2_stream_sink's (``state_dir/v=<batch_id>``, read back with
+    ``read_state``) — for an AGGREGATE sink replay idempotence is not
+    a nicety but the difference between right and wrong numbers: with
+    a single overwritten dir, foreachBatch's at-least-once contract
+    means a replayed batch re-merges its own delta and DOUBLE-COUNTS
+    it (silently — the table stays well-formed). Merging against
+    ``read_state(before_batch=batch_id)`` makes the replay rewrite
+    the identical v=N instead. At 100 TB swap the dir for a
     transactional table and write per-group upserts instead.
     """
     from ..operators.incremental_agg import agg_state, merge_agg_state
@@ -367,15 +444,13 @@ def incremental_agg_stream_sink(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         delta = agg_state(batch_df, group_cols, value_col, scale)
-        current = _read_state_or_none(spark, state_dir)
+        current = read_state(spark, state_dir, before_batch=batch_id)
         merged = (
             merge_agg_state(current, delta, group_cols)
             if current is not None
             else delta
         )
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_dir
-        )
+        _write_state_version(merged, state_dir, batch_id)
 
     return apply
 
@@ -402,10 +477,28 @@ def neardup_stream_sink(
        never re-tokenized or re-hashed; only candidate hits are read
        back for the exact verify). Any survivor with Jaccard ≥
        threshold against a kept doc is dropped.
-    Kept docs and their ``band_signatures`` rows are APPENDED to
+    Kept docs and their ``band_signatures`` rows land under
     ``corpus_dir/docs`` and ``corpus_dir/bands`` — append-only state,
     no rewrite of history (unlike the SCD2/agg sinks there is no
     read-merge-overwrite cycle to guard).
+
+    Replay safety: foreachBatch is AT-LEAST-ONCE — after a failure the
+    engine re-runs the last batch with the same ``batch_id``. Two
+    measures make the re-run converge to the same state instead of
+    corrupting it (pinned in tests/test_neardup_stream.py):
+    1. Each batch writes to DETERMINISTIC per-batch partition dirs
+       (``bid=<batch_id>``) with overwrite — a replay replaces its own
+       partition rather than appending duplicates, the standard
+       idempotent-location pattern for file sinks.
+    2. The cross-batch check drops identity pairs (same doc_id): on a
+       replay whose writes already landed, a survivor finds ITSELF in
+       the corpus at J=1.0 — without the filter every replayed
+       survivor would be "deduped" away and the overwrite would erase
+       the batch (same doc_id = the same document re-processed, never
+       a duplicate). The within-batch invariant (survivors pairwise
+       below threshold) guarantees no OTHER same-batch pair can
+       re-drop a survivor, so the replay recomputes the identical
+       survivor set no matter which of the two writes had landed.
 
     Semantics contract (pinned in tests/test_neardup_stream.py): this
     is ONLINE dedup — every kept doc is pairwise below-threshold
@@ -417,8 +510,6 @@ def neardup_stream_sink(
     middle B; online mode never sees B again) — the divergence case
     is itself pinned, not papered over.
     """
-    import os
-
     from ..operators.clustering import dedup_clusters
     from ..operators.dedup import (
         DEFAULT_BANDS,
@@ -454,7 +545,7 @@ def neardup_stream_sink(
         survivors = batch.join(dropped, "doc_id", "left_anti")
         stored_bands = _read_state_or_none(spark, bands_dir)
         if stored_bands is not None:
-            corpus = spark.read.parquet(docs_dir)
+            corpus = spark.read.parquet(docs_dir).select("doc_id", "text")
             hits = neardup_pairs_cross(
                 survivors,
                 corpus,
@@ -471,15 +562,27 @@ def neardup_stream_sink(
                 # drop the caller's own caches too
                 corpus_bands=stored_bands,
             )
-            dup_ids = hits.select(F.col("doc_a").alias("doc_id")).distinct()
+            dup_ids = (
+                hits.where(F.col("doc_a") != F.col("doc_b"))  # replay: a
+                # survivor whose write already landed is in the corpus
+                # at J=1.0 under its own id — itself, not a duplicate
+                .select(F.col("doc_a").alias("doc_id"))
+                .distinct()
+            )
             survivors = survivors.join(dup_ids, "doc_id", "left_anti")
-        # materialize once: the survivor frame feeds BOTH appends, and
-        # its cross-batch lineage reads the state dirs being appended
+        # materialize once: the survivor frame feeds BOTH writes, and
+        # its cross-batch lineage reads the state dirs being written
         # to — checkpoint cuts that read before the writes land
         survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(docs_dir)
+        # deterministic per-batch partition dirs + overwrite: a replay
+        # replaces its own partition instead of appending duplicates
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(docs_dir, f"bid={batch_id}")
+        )
         band_signatures(
             survivors, n_hashes=n_hashes, bands=bands, tokenizer=tokenizer
-        ).write.mode("append").parquet(bands_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"bid={batch_id}")
+        )
 
     return apply

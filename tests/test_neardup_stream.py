@@ -180,6 +180,69 @@ def test_stream_chain_divergence_pinned(spark, tmp_path):
     assert _batch_survivors(spark, docs) == {1}  # global: chain merges
 
 
+def _state(spark, corpus_dir):
+    """(kept doc_ids, full sorted band-row list) — the complete sink
+    state, so equality means byte-equivalent state, not just same
+    survivors."""
+    kept = {
+        r.doc_id for r in spark.read.parquet(corpus_dir + "/docs").collect()
+    }
+    bands = sorted(
+        (r.doc_id, r.band, r.bh, r.sz)
+        for r in spark.read.parquet(corpus_dir + "/bands").collect()
+    )
+    return kept, bands
+
+
+def test_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch whose writes
+    fully landed must converge to the identical state. Without the
+    identity-pair filter every replayed survivor would match ITSELF in
+    the corpus at J=1.0 and the overwrite would erase the batch."""
+    docs = _clique_docs()
+    batches = [docs[0::2], docs[1::2]]
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    dfs = [
+        spark.createDataFrame(rows, "doc_id long, text string")
+        for rows in batches
+    ]
+    sink(dfs[0], 0)
+    sink(dfs[1], 1)
+    before = _state(spark, corpus_dir)
+    sink(dfs[1], 1)  # full replay
+    assert _state(spark, corpus_dir) == before
+    sink(dfs[0], 0)  # stale replay of an older batch: same contract
+    assert _state(spark, corpus_dir) == before
+
+
+def test_replay_after_partial_write(spark, tmp_path):
+    """The failure windows BETWEEN the two per-batch writes: replaying
+    after only one of docs/bands landed must restore the complete
+    state (the partial partition is overwritten, never duplicated)."""
+    import shutil
+
+    docs = _clique_docs()
+    batches = [docs[0::2], docs[1::2]]
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    dfs = [
+        spark.createDataFrame(rows, "doc_id long, text string")
+        for rows in batches
+    ]
+    sink(dfs[0], 0)
+    sink(dfs[1], 1)
+    complete = _state(spark, corpus_dir)
+    # window A: docs landed, bands did not (crash before second write)
+    shutil.rmtree(str(tmp_path / "corpus" / "bands" / "bid=1"))
+    sink(dfs[1], 1)
+    assert _state(spark, corpus_dir) == complete
+    # window B: bands landed, docs did not
+    shutil.rmtree(str(tmp_path / "corpus" / "docs" / "bid=1"))
+    sink(dfs[1], 1)
+    assert _state(spark, corpus_dir) == complete
+
+
 def test_stream_every_kept_pair_below_threshold(spark, tmp_path):
     """The sink's core guarantee, checked directly on the final state:
     no two kept docs are near-dups (brute all-pairs over the kept

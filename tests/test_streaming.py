@@ -349,7 +349,9 @@ def test_scd2_stream_equals_sequential_batches(spark, tmp_path):
                 .withColumn("valid_to", F.lit(None).cast("timestamp_ntz"))
             )
         want = scd2_apply(want, snap, "k", ["seg"], ts)
-    got = spark.read.parquet(table_dir)
+    from salesforce_postgresql_etl_spark.streaming.jobs import read_state
+
+    got = read_state(spark, table_dir)
     assert _rows(got) == _rows(want)
     # Spot-check history: key 2 carries a closed B and an open B2.
     k2 = {(r.seg, r.valid_to is None) for r in got.where("k = 2").collect()}
@@ -396,10 +398,12 @@ def test_incremental_agg_stream_equals_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
 
+    from salesforce_postgresql_etl_spark.streaming.jobs import read_state
+
     got = sorted(
         tuple(r)
         for r in finalize_agg_state(
-            spark.read.parquet(state_dir), ["event_type"]
+            read_state(spark, state_dir), ["event_type"]
         ).collect()
     )
     want = sorted(
@@ -502,3 +506,102 @@ def test_observe_metrics_piggyback_on_query(spark):
     assert m["rows_seen"] == 10000          # metrics see the PRE-filter scan
     assert landed < m["rows_seen"]
     assert float(m["value_total"]) > 0
+
+
+def test_scd2_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch through the
+    SCD2 sink must rewrite the identical state version, not merge the
+    snapshot against its own output. Also covers the crash window: a
+    partial (uncommitted) v=N dir is invisible to read_state and gets
+    overwritten by the replay."""
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        read_state,
+        scd2_stream_sink,
+    )
+
+    def snap_df(ts, rows):
+        return spark.createDataFrame(
+            [(k, s, ts) for k, s in rows],
+            "k long, seg string, snapshot_ts string",
+        ).withColumn("snapshot_ts", F.col("snapshot_ts").cast("timestamp_ntz"))
+
+    table_dir = str(tmp_path / "scd2_v")
+    sink = scd2_stream_sink(table_dir, "k", ["seg"], "snapshot_ts")
+    b0 = snap_df("2024-01-01 00:00:00", [(1, "A"), (2, "B")])
+    b1 = snap_df("2024-02-01 00:00:00", [(1, "A2"), (2, "B")])
+    sink(b0, 0)
+    sink(b1, 1)
+    want = _rows(read_state(spark, table_dir))
+    # key 1 must carry exactly one closed A and one open A2
+    assert sum(1 for r in want if r[-1] is None) == 2  # two open rows
+    sink(b1, 1)  # full replay of the last batch
+    assert _rows(read_state(spark, table_dir)) == want
+    sink(b1, 1)  # replay of the replay — still fixed-point
+    assert _rows(read_state(spark, table_dir)) == want
+
+
+def test_incremental_agg_sink_replay_no_double_count(spark, tmp_path):
+    """The silent-wrong-numbers class: with a single overwritten state
+    dir a replayed batch re-merges its own delta and double-counts.
+    The versioned sink merges against the state BEFORE the batch, so
+    any number of replays finalizes to the same aggregate."""
+    from salesforce_postgresql_etl_spark.operators.incremental_agg import (
+        agg_state,
+        finalize_agg_state,
+    )
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        incremental_agg_stream_sink,
+        read_state,
+    )
+
+    state_dir = str(tmp_path / "agg_v")
+    sink = incremental_agg_stream_sink(state_dir, ["g"], "v")
+    b0 = spark.createDataFrame([("x", 1.0), ("y", 2.0)], "g string, v double")
+    b1 = spark.createDataFrame([("x", 10.0)], "g string, v double")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def final():
+        return sorted(
+            tuple(r)
+            for r in finalize_agg_state(
+                read_state(spark, state_dir), ["g"]
+            ).collect()
+        )
+
+    want = sorted(
+        tuple(r)
+        for r in finalize_agg_state(
+            agg_state(b0.unionAll(b1), ["g"], "v"), ["g"]
+        ).collect()
+    )
+    assert final() == want
+    sink(b1, 1)  # replay: must NOT add another 10.0 to x
+    assert final() == want
+    sink(b1, 1)
+    assert final() == want
+
+
+def test_versioned_state_prunes_and_gates_on_commit_marker(spark, tmp_path):
+    """read_state sees only committed versions (those with _SUCCESS)
+    and _write_state_version keeps exactly the newest two."""
+    import os as _os
+
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        _state_versions,
+        _write_state_version,
+        read_state,
+    )
+
+    d = str(tmp_path / "vstate")
+    for bid, val in ((0, 10), (1, 11), (2, 12)):
+        _write_state_version(
+            spark.createDataFrame([(val,)], "x long"), d, bid
+        )
+    assert _state_versions(spark, d) == [1, 2]  # v=0 pruned
+    assert read_state(spark, d).collect()[0].x == 12
+    assert read_state(spark, d, before_batch=2).collect()[0].x == 11
+    # a version whose _SUCCESS is missing (crash mid-write) is invisible
+    _os.remove(_os.path.join(d, "v=2", "_SUCCESS"))
+    assert _state_versions(spark, d) == [1]
+    assert read_state(spark, d).collect()[0].x == 11
