@@ -99,3 +99,69 @@ def test_pushdown_reaches_python_source(spark, jsonl):
     got = {r.Id for r in df.collect()}
     want = {r["Id"] for r in RECORDS if r["IsWon"]}
     assert got == want
+
+
+def _drain_stream_to(spark, path, sink_dir, ckpt, page_size=4):
+    spark.dataSource.register(SalesforceModelDataSource)
+    q = (
+        spark.readStream.format("sf_model")
+        .option("describe", json.dumps(FIELDS))
+        .option("path", path)
+        .option("page_size", str(page_size))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_incremental_extract(spark, tmp_path):
+    """The incremental-watermark semantics as a true streaming source:
+    a second drain against the same checkpoint consumes ONLY the lines
+    appended since the first — planning and reading are delta-sized."""
+    p = tmp_path / "stream.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in RECORDS[:10]) + "\n")
+    sink, ckpt = str(tmp_path / "landed"), str(tmp_path / "ckpt")
+    _drain_stream_to(spark, str(p), sink, ckpt)
+    assert spark.read.parquet(sink).count() == 10
+    with open(p, "a") as f:
+        f.write("\n".join(json.dumps(r) for r in RECORDS[10:15]) + "\n")
+    _drain_stream_to(spark, str(p), sink, ckpt)
+    got = spark.read.parquet(sink)
+    assert got.count() == 15
+    assert got.select("Id").distinct().count() == 15  # no re-delivery
+
+
+def test_stream_equals_batch_typed(spark, tmp_path):
+    """Full drain through the stream reader == the batch reader, typed
+    row-for-row (shared _read_slice: one parse path, two transports)."""
+    p = tmp_path / "full.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in RECORDS) + "\n")
+    sink, ckpt = str(tmp_path / "landed"), str(tmp_path / "ckpt")
+    _drain_stream_to(spark, str(p), sink, ckpt)
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    want = sorted(tuple(r) for r in _reader(spark, str(p), 4).collect())
+    assert got == want
+
+
+def test_stream_torn_tail_line_deferred(spark, tmp_path):
+    """A partially-appended record (no newline yet) must NOT be
+    consumed — latestOffset snaps to the last complete line — and must
+    arrive exactly once after its newline lands."""
+    p = tmp_path / "torn.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in RECORDS[:3]) + "\n")
+    whole = json.dumps(RECORDS[3])
+    with open(p, "a") as f:
+        f.write(whole[:20])  # torn mid-record, no newline
+    sink, ckpt = str(tmp_path / "landed"), str(tmp_path / "ckpt")
+    _drain_stream_to(spark, str(p), sink, ckpt)
+    assert spark.read.parquet(sink).count() == 3  # torn record held back
+    with open(p, "a") as f:
+        f.write(whole[20:] + "\n")  # the record completes
+    _drain_stream_to(spark, str(p), sink, ckpt)
+    got = spark.read.parquet(sink)
+    assert got.count() == 4
+    assert got.where(f"Id = '{RECORDS[3]['Id']}'").count() == 1
