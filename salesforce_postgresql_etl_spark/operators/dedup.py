@@ -287,8 +287,22 @@ def neardup_pairs_cross(
     re-hash path (pytest-pinned) because ``_minhash_band_rows`` is
     deterministic in its input rows.
     """
-    if corpus_bands is not None and strategy != "minhash":
-        raise ValueError("corpus_bands requires strategy='minhash'")
+    if corpus_bands is not None:
+        if strategy != "minhash":
+            raise ValueError("corpus_bands requires strategy='minhash'")
+        # structural contract check (free — schema only). The VALUES
+        # must also come from the same n_hashes/bands/tokenizer as this
+        # call: a mismatched table silently under-reports duplicates
+        # (band indices / bh values no longer correspond), which a
+        # schema check cannot see — callers that persist bands across
+        # runs must persist the banding parameters beside them
+        # (neardup_stream_sink stores and verifies exactly that).
+        missing = {"doc_id", "band", "bh", "sz"} - set(corpus_bands.columns)
+        if missing:
+            raise ValueError(
+                f"corpus_bands missing column(s) {sorted(missing)}; expected "
+                "the band_signatures schema (doc_id, band, bh, sz)"
+            )
     tok_a = token_sets(new_docs, tokenizer=tokenizer)
     tok_b = token_sets(corpus, tokenizer=tokenizer)
     if strategy == "minhash" and persist:
@@ -336,10 +350,18 @@ def neardup_pairs_cross(
         # subset of the corpus — the semi join prunes the text scan to
         # verify-sized reads (the "pushed-down semi-join-sized read"
         # the docstring promises). The candidate table is referenced
-        # twice here (verify join + this pruning semi join), so the
-        # decode-once rule applies under ``persist``.
+        # twice here (verify join + this pruning semi join), and its
+        # subtree contains the corpus-proportional stored-bands join —
+        # recomputing THAT per reference would double the dominant
+        # production term (r7 review). persist shares it under the
+        # caller's cache budget; otherwise a lazy localCheckpoint
+        # shares the (candidate-sized, small) result without leaving
+        # named cache residue in the caller's session — blocks are
+        # freed with the DataFrame by the context cleaner.
         if persist:
             candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            candidates = candidates.localCheckpoint(eager=False)
         hit_ids = candidates.select(F.col("doc_b").alias("doc_id")).distinct()
         b = token_sets(
             corpus.join(hit_ids, "doc_id", "left_semi"), tokenizer=tokenizer

@@ -165,6 +165,7 @@ class SFModelStreamReader(DataSourceStreamReader):
         self.page_size = int(options.get("page_size", "2000"))
         if self.page_size <= 0:
             raise ValueError("page_size must be positive")
+        self._floor = 0  # highest offset ever returned — see latestOffset
 
     def initialOffset(self) -> dict:
         return {"pos": 0}
@@ -174,21 +175,35 @@ class SFModelStreamReader(DataSourceStreamReader):
 
         try:
             size = os.path.getsize(self.path)
-        except OSError:
-            return {"pos": 0}
-        # snap to the last complete line: scan backwards in chunks for
-        # the final newline at-or-before EOF
-        with open(self.path, "rb") as f:
-            pos = size
-            while pos > 0:
-                step = min(4096, pos)
-                f.seek(pos - step)
-                chunk = f.read(step)
-                nl = chunk.rfind(b"\n")
-                if nl != -1:
-                    return {"pos": pos - step + nl + 1}
-                pos -= step
-        return {"pos": 0}
+        except FileNotFoundError:
+            # log not created yet: a legitimate pre-first-extract state.
+            # Any OTHER OSError (permission blip, remote-mount hiccup)
+            # propagates and fails the trigger for retry — returning 0
+            # here would rewind the committed cursor and re-deliver the
+            # whole log, the exact silent-data-corruption class
+            # _read_state_or_none's docstring bans (r7 review).
+            size = 0
+        pos = 0
+        if size > 0:
+            # snap to the last complete line: scan backwards in chunks
+            # for the final newline at-or-before EOF
+            with open(self.path, "rb") as f:
+                p = size
+                while p > 0:
+                    step = min(4096, p)
+                    f.seek(p - step)
+                    chunk = f.read(step)
+                    nl = chunk.rfind(b"\n")
+                    if nl != -1:
+                        pos = p - step + nl + 1
+                        break
+                    p -= step
+        # monotonic clamp: the offset never moves backwards, so even a
+        # file that briefly disappears (atomic replace) or is truncated
+        # cannot rewind the cursor into re-delivery; an actually
+        # truncated log surfaces as an explicit error in partitions().
+        self._floor = max(self._floor, pos)
+        return {"pos": self._floor}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = int(start["pos"]), int(end["pos"])
@@ -199,7 +214,16 @@ class SFModelStreamReader(DataSourceStreamReader):
         with open(self.path, "rb") as f:
             f.seek(s)
             while f.tell() < e:
-                f.readline()
+                if not f.readline():
+                    # EOF before the committed end offset: the
+                    # append-only contract was violated (log truncated
+                    # or replaced with a shorter file). Fail loudly —
+                    # silently planning a short batch would lose the
+                    # missing records forever.
+                    raise ValueError(
+                        f"{self.path} ends at {f.tell()} but offset {e} "
+                        "was committed: append-only log was truncated"
+                    )
                 n += 1
                 if n % self.page_size == 0 and f.tell() < e:
                     bounds.append(f.tell())

@@ -297,27 +297,32 @@ def _read_state_or_none(spark, state_dir: str):
         raise
 
 
-def _state_versions(spark, state_dir: str) -> list[int]:
-    """Sorted COMMITTED version numbers under a versioned state dir.
+def _committed_partition_ids(spark, dir_path: str, prefix: str) -> list[int]:
+    """Sorted integer suffixes of COMMITTED ``<prefix><n>`` subdirs.
 
-    A version is a ``v=<batch_id>`` subdirectory; it counts only once
-    its ``_SUCCESS`` marker exists (FileOutputCommitter writes that
-    last, so a crash mid-write leaves an ignorable partial dir, never
-    a half-read). Listed through the Hadoop FileSystem API so the same
-    code addresses local disk, HDFS, or an object store."""
+    A subdir counts only once its ``_SUCCESS`` marker exists
+    (FileOutputCommitter writes that last, so a crash mid-write leaves
+    an ignorable partial dir, never a half-read). Listed through the
+    Hadoop FileSystem API so the same code addresses local disk, HDFS,
+    or an object store."""
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(state_dir)
+    path = jvm.org.apache.hadoop.fs.Path(dir_path)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(path):
         return []
     out = []
     for st in fs.listStatus(path):
         name = st.getPath().getName()
-        if name.startswith("v=") and fs.exists(
+        if name.startswith(prefix) and fs.exists(
             jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
         ):
-            out.append(int(name[2:]))
+            out.append(int(name[len(prefix):]))
     return sorted(out)
+
+
+def _state_versions(spark, state_dir: str) -> list[int]:
+    """Sorted committed version numbers under a versioned state dir."""
+    return _committed_partition_ids(spark, state_dir, "v=")
 
 
 def read_state(
@@ -347,8 +352,23 @@ def _write_state_version(
 
     keep=2 is the replay floor: after batch N commits, a replay of N
     (the only batch the engine can re-run — older ones are sealed in
-    the streaming checkpoint) still finds its N-1 merge basis."""
+    the streaming checkpoint) still finds its N-1 merge basis.
+
+    Refuses a ``batch_id`` BELOW the newest committed version: batch
+    ids only move backwards when a fresh streaming checkpoint is
+    pointed at an existing state dir, and silently proceeding would
+    write the batch as a version the prune loop immediately deletes —
+    the delta would vanish with no error (r7 review)."""
     spark = df.sparkSession
+    versions = _state_versions(spark, state_dir)
+    if versions and batch_id < versions[-1]:
+        raise ValueError(
+            f"batch_id {batch_id} is older than committed state version "
+            f"{versions[-1]} at {state_dir}: the streaming checkpoint does "
+            "not match this state dir (fresh checkpoint against existing "
+            "state?). Point the query at its original checkpointLocation "
+            "or at an empty state dir."
+        )
     df.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"v={batch_id}")
     )
@@ -489,16 +509,32 @@ def neardup_stream_sink(
     1. Each batch writes to DETERMINISTIC per-batch partition dirs
        (``bid=<batch_id>``) with overwrite — a replay replaces its own
        partition rather than appending duplicates, the standard
-       idempotent-location pattern for file sinks.
-    2. The cross-batch check drops identity pairs (same doc_id): on a
-       replay whose writes already landed, a survivor finds ITSELF in
-       the corpus at J=1.0 — without the filter every replayed
-       survivor would be "deduped" away and the overwrite would erase
-       the batch (same doc_id = the same document re-processed, never
-       a duplicate). The within-batch invariant (survivors pairwise
-       below threshold) guarantees no OTHER same-batch pair can
-       re-drop a survivor, so the replay recomputes the identical
-       survivor set no matter which of the two writes had landed.
+       idempotent-location pattern for file sinks. A ``batch_id``
+       BELOW the newest committed partition raises instead of
+       overwriting history (that only happens when a fresh checkpoint
+       is pointed at an existing corpus_dir).
+    2. Both cross-batch passes read the corpus EXCLUDING this batch's
+       own ``bid`` partition, so a replay whose writes already landed
+       sees exactly the corpus the original run saw and recomputes the
+       identical survivor set no matter which of the two writes had
+       landed (the within-batch invariant — survivors pairwise below
+       threshold — rules out any same-batch re-drop).
+
+    Identity policy: FIRST WRITE WINS. An incoming ``doc_id`` already
+    present in (another batch of) the corpus is dropped by an id
+    anti-join BEFORE any similarity work — same id = the same logical
+    document re-sent (a CDC re-emission or an update), never a new
+    near-duplicate. An updated text under an existing id is therefore
+    NOT ingested; an append-only dedup corpus cannot represent
+    updates — route updates through a keyed upsert sink instead
+    (r7 review: the earlier same-id J=1.0 exemption silently kept
+    both versions and broke the pairwise-below-threshold invariant).
+
+    Banding parameters (n_hashes, bands, tokenizer, threshold) are
+    persisted to ``corpus_dir/meta`` on first use and verified every
+    batch: stored signatures are only comparable to new ones under
+    the SAME parameters, and a restart with different values would
+    silently miss duplicates rather than fail — so it fails.
 
     Semantics contract (pinned in tests/test_neardup_stream.py): this
     is ONLINE dedup — every kept doc is pairwise below-threshold
@@ -523,12 +559,63 @@ def neardup_stream_sink(
     bands = DEFAULT_BANDS if bands is None else bands
     docs_dir = os.path.join(corpus_dir, "docs")
     bands_dir = os.path.join(corpus_dir, "bands")
+    meta_dir = os.path.join(corpus_dir, "meta")
+
+    def _check_meta(spark) -> None:
+        params = (n_hashes, bands, tokenizer, float(threshold))
+        meta = _read_state_or_none(spark, meta_dir)
+        if meta is None:
+            spark.createDataFrame(
+                [params],
+                "n_hashes int, bands int, tokenizer string, threshold double",
+            ).write.mode("overwrite").parquet(meta_dir)
+            return
+        row = meta.collect()[0]  # 1 row — watermark-probe budget class
+        stored = (row.n_hashes, row.bands, row.tokenizer, row.threshold)
+        if stored != params:
+            raise ValueError(
+                f"corpus at {corpus_dir} was built with (n_hashes, bands, "
+                f"tokenizer, threshold)={stored}, but this sink was created "
+                f"with {params}: stored signatures are only comparable "
+                "under identical parameters — restarting with different "
+                "values would silently miss duplicates."
+            )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text")
         if batch.isEmpty():
             return
+        _check_meta(spark)
+        committed = _committed_partition_ids(spark, docs_dir, "bid=")
+        if committed and batch_id < committed[-1]:
+            raise ValueError(
+                f"batch_id {batch_id} is older than committed corpus "
+                f"partition bid={committed[-1]} at {docs_dir}: the "
+                "streaming checkpoint does not match this corpus_dir "
+                "(fresh checkpoint against existing state?)."
+            )
+        stored_bands = _read_state_or_none(spark, bands_dir)
+        corpus = None
+        if stored_bands is not None:
+            # exclude this batch's OWN partitions: on a replay whose
+            # writes already landed, the corpus must look exactly as
+            # the original run saw it (the bid column comes from
+            # partition discovery over the bid=<n> dirs)
+            stored_bands = stored_bands.where(F.col("bid") != batch_id)
+            corpus = (
+                spark.read.parquet(docs_dir)
+                .where(F.col("bid") != batch_id)
+                .select("doc_id", "text")
+            )
+            # first-write-wins BEFORE any similarity work — including
+            # the within-batch pass: an id-colliding row is not a
+            # legitimate candidate, and letting it win a within-batch
+            # canonical election would drop the fresh row it shadowed
+            # (see docstring identity policy)
+            batch = batch.join(
+                corpus.select("doc_id"), "doc_id", "left_anti"
+            )
         wpairs = neardup_pairs(
             batch,
             threshold=threshold,
@@ -543,9 +630,7 @@ def neardup_stream_sink(
             .select("doc_id")
         )
         survivors = batch.join(dropped, "doc_id", "left_anti")
-        stored_bands = _read_state_or_none(spark, bands_dir)
-        if stored_bands is not None:
-            corpus = spark.read.parquet(docs_dir).select("doc_id", "text")
+        if corpus is not None:
             hits = neardup_pairs_cross(
                 survivors,
                 corpus,
@@ -554,21 +639,14 @@ def neardup_stream_sink(
                 n_hashes=n_hashes,
                 bands=bands,
                 tokenizer=tokenizer,
-                # persist=False: the recomputed subtrees are all
-                # MICRO-BATCH-sized (tok_a, candidates); the corpus-
-                # sized work is already cut by corpus_bands, and a
-                # library sink must not leave cache residue in the
-                # caller's session (r4 rule) — clearCache() here would
-                # drop the caller's own caches too
+                # persist=False: the micro-batch subtrees are small and
+                # the operator internally shares its candidate table
+                # (lazy localCheckpoint), so nothing corpus-sized runs
+                # twice; a library sink must not leave cache residue in
+                # the caller's session (r4 rule)
                 corpus_bands=stored_bands,
             )
-            dup_ids = (
-                hits.where(F.col("doc_a") != F.col("doc_b"))  # replay: a
-                # survivor whose write already landed is in the corpus
-                # at J=1.0 under its own id — itself, not a duplicate
-                .select(F.col("doc_a").alias("doc_id"))
-                .distinct()
-            )
+            dup_ids = hits.select(F.col("doc_a").alias("doc_id")).distinct()
             survivors = survivors.join(dup_ids, "doc_id", "left_anti")
         # materialize once: the survivor frame feeds BOTH writes, and
         # its cross-batch lineage reads the state dirs being written

@@ -212,7 +212,13 @@ def test_replay_idempotent(spark, tmp_path):
     before = _state(spark, corpus_dir)
     sink(dfs[1], 1)  # full replay
     assert _state(spark, corpus_dir) == before
-    sink(dfs[0], 0)  # stale replay of an older batch: same contract
+    # a batch_id BELOW committed history is not a replay the engine can
+    # produce — it means a fresh checkpoint was pointed at an existing
+    # corpus, and overwriting bid=0 would destroy kept documents
+    import pytest
+
+    with pytest.raises(ValueError, match="older than committed"):
+        sink(dfs[0], 0)
     assert _state(spark, corpus_dir) == before
 
 
@@ -241,6 +247,59 @@ def test_replay_after_partial_write(spark, tmp_path):
     shutil.rmtree(str(tmp_path / "corpus" / "docs" / "bid=1"))
     sink(dfs[1], 1)
     assert _state(spark, corpus_dir) == complete
+
+
+def test_banding_mismatch_raises(spark, tmp_path):
+    """Stored signatures are only comparable under the parameters that
+    built them; restarting the sink with different banding/threshold
+    must fail loudly instead of silently missing duplicates."""
+    import pytest
+
+    docs = _clique_docs()
+    corpus_dir = str(tmp_path / "corpus")
+    df = spark.createDataFrame(docs[:4], "doc_id long, text string")
+    neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)(df, 0)
+    df2 = spark.createDataFrame(docs[4:8], "doc_id long, text string")
+    with pytest.raises(ValueError, match="only comparable"):
+        neardup_stream_sink(
+            corpus_dir, threshold=THETA, n_hashes=64, bands=8
+        )(df2, 1)
+    with pytest.raises(ValueError, match="only comparable"):
+        neardup_stream_sink(corpus_dir, threshold=0.9, **BANDING)(df2, 1)
+    # same parameters: proceeds
+    neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)(df2, 1)
+
+
+def test_same_id_first_write_wins(spark, tmp_path):
+    """Identity policy: a doc_id already in the corpus is dropped by
+    the id anti-join even when its TEXT changed (an update is not a
+    near-duplicate; an append-only dedup corpus keeps the first
+    version) — the kept set never holds two rows under one id."""
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    v1 = _doc([f"a{i}" for i in range(20)])
+    v2 = _doc([f"b{i}" for i in range(20)])  # disjoint tokens: J(v1,v2)=0
+    sink(spark.createDataFrame([(1, v1)], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame([(1, v2), (2, v2)], "doc_id long, text string"), 1)
+    kept = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(corpus_dir + "/docs").collect()
+    }
+    # id 1 keeps its FIRST text; the changed text enters under id 2
+    assert kept == {(1, v1), (2, v2)}
+
+
+def test_corpus_bands_schema_check(spark):
+    """A frame without the band_signatures columns is rejected up
+    front — not silently joined into zero candidates."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    bogus = spark.createDataFrame([(1, 2)], "doc_id long, nonsense int")
+    with pytest.raises(ValueError, match="missing column"):
+        neardup_pairs_cross(
+            docs, docs, strategy="minhash", corpus_bands=bogus
+        )
 
 
 def test_stream_every_kept_pair_below_threshold(spark, tmp_path):

@@ -605,3 +605,13 @@ def test_versioned_state_prunes_and_gates_on_commit_marker(spark, tmp_path):
     _os.remove(_os.path.join(d, "v=2", "_SUCCESS"))
     assert _state_versions(spark, d) == [1]
     assert read_state(spark, d).collect()[0].x == 11
+    # a batch_id below committed history = fresh checkpoint pointed at
+    # existing state; writing it would be instantly pruned (silent data
+    # loss), so it must raise instead
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="older than committed"):
+        _write_state_version(spark.createDataFrame([(9,)], "x long"), d, 0)
+    # replay of the newest version is legal
+    _write_state_version(spark.createDataFrame([(13,)], "x long"), d, 1)
+    assert read_state(spark, d).collect()[0].x == 13
