@@ -664,3 +664,75 @@ def neardup_stream_sink(
         )
 
     return apply
+
+
+def compact_corpus(
+    spark: SparkSession,
+    corpus_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Merge the near-dup corpus's SEALED ``bid=`` partitions — the
+    streaming small-files maintenance job for ``neardup_stream_sink``.
+
+    Every micro-batch leaves one ``bid=<n>`` partition under
+    ``corpus_dir/docs`` and ``/bands``; after thousands of batches each
+    scan pays per-file footer and listing costs for a corpus whose
+    bytes would fit in a handful of files. This job rewrites all
+    committed partitions EXCEPT the newest into one consolidated
+    partition per state dir (kept under the largest sealed bid, so the
+    ``batch_id < newest committed`` guard and partition discovery are
+    unchanged), with ~``target_file_bytes`` output files.
+
+    Why the newest partition is never touched: the engine may still
+    REPLAY its batch, and a replay overwrites ``bid=<newest>``
+    wholesale — compacting older rows into it would hand them to that
+    overwrite for deletion. Sealed batches (anything below the newest)
+    can never be re-run: the streaming checkpoint has committed past
+    them.
+
+    Crash safety mirrors the write protocol: the merged rows are fully
+    staged in a SIBLING temp dir first (invisible to partition
+    discovery — not a ``bid=`` name; its ``_SUCCESS`` marks it
+    complete), and only then are the source dirs removed and the temp
+    renamed in. A crash before any removal leaves the corpus exactly
+    as it was; a crash inside the removal/rename window leaves a
+    maintenance job to re-run, never a half-merged PARTITION (each
+    rm/rename is per-directory). At 100 TB this job is a transactional
+    table's OPTIMIZE, exactly like ``sources/compaction.py`` — and
+    like every plain-parquet maintenance job it owns the table while
+    it runs: call it BETWEEN drains, never concurrently with one.
+
+    Returns per-dir before/after file counts.
+    """
+    import shutil
+
+    from ..sources.compaction import dir_parquet_stats
+
+    stats = {}
+    for sub in ("docs", "bands"):
+        dir_path = os.path.join(corpus_dir, sub)
+        ids = _committed_partition_ids(spark, dir_path, "bid=")
+        sealed = ids[:-1]  # never the newest — see docstring
+        if len(sealed) < 2:
+            stats[sub] = {"compacted": False, "partitions": len(ids)}
+            continue
+        srcs = [os.path.join(dir_path, f"bid={i}") for i in sealed]
+        n_before = sum(dir_parquet_stats(s)[0] for s in srcs)
+        total_bytes = sum(dir_parquet_stats(s)[1] for s in srcs)
+        n_target = max(1, -(-total_bytes // target_file_bytes))
+        # reading explicit leaf dirs skips partition discovery: the
+        # frame carries exactly the stored schema, no bid column
+        merged = spark.read.parquet(*srcs).repartition(n_target)
+        tmp = f"{dir_path.rstrip('/')}__compact_tmp_{sealed[-1]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        for s in srcs:
+            shutil.rmtree(s)
+        os.rename(tmp, os.path.join(dir_path, f"bid={sealed[-1]}"))
+        stats[sub] = {
+            "compacted": True,
+            "files_before": n_before,
+            "files_after": n_target,
+            "partitions_merged": len(sealed),
+            "kept_bid": sealed[-1],
+        }
+    return stats

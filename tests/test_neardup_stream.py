@@ -315,3 +315,50 @@ def test_stream_every_kept_pair_below_threshold(spark, tmp_path):
     kept_df = spark.read.parquet(corpus_dir + "/docs")
     viol = neardup_pairs(kept_df, threshold=THETA, strategy="brute").count()
     assert viol == 0
+
+
+def test_compact_corpus(spark, tmp_path):
+    """Small-files maintenance: sealed bid partitions merge into one,
+    state content is byte-identical, the newest partition stays
+    replayable, and ingest continues correctly afterwards."""
+    from salesforce_postgresql_etl_spark.streaming.jobs import compact_corpus
+
+    docs = _clique_docs()
+    batches = [docs[0::3], docs[1::3], docs[2::3]]
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    dfs = [
+        spark.createDataFrame(rows, "doc_id long, text string")
+        for rows in batches
+    ]
+    for i, df in enumerate(dfs):
+        sink(df, i)
+    before = _state(spark, corpus_dir)
+
+    stats = compact_corpus(spark, corpus_dir)
+    assert stats["docs"]["compacted"] and stats["bands"]["compacted"]
+    assert stats["docs"]["partitions_merged"] == 2  # bids 0,1; 2 sealed off
+    assert _state(spark, corpus_dir) == before  # content unchanged
+
+    # replay of the (untouched) newest batch still converges
+    sink(dfs[2], 2)
+    assert _state(spark, corpus_dir) == before
+
+    # further ingest: a dup of a batch-0 doc is still caught against
+    # the compacted history, and a novel doc is kept under batch 3
+    dup_of_kept = [(500, docs[0][1])]  # same text as doc 0 (a kept canonical)
+    novel = [(501, _doc([f"z{i}" for i in range(25)]))]
+    sink(
+        spark.createDataFrame(dup_of_kept + novel, "doc_id long, text string"),
+        3,
+    )
+    kept_after = {
+        r.doc_id for r in spark.read.parquet(corpus_dir + "/docs").collect()
+    }
+    assert 501 in kept_after and 500 not in kept_after
+
+    # idempotent no-op when fewer than 2 sealed partitions exist
+    stats2 = compact_corpus(spark, corpus_dir)
+    assert stats2["docs"]["compacted"] and stats2["docs"]["partitions_merged"] == 2
+    stats3 = compact_corpus(spark, corpus_dir)
+    assert not stats3["docs"]["compacted"]
