@@ -1,17 +1,26 @@
 """Streaming near-dup ingest (streaming/jobs.py neardup_stream_sink)
 and the stored-signature path of neardup_pairs_cross (corpus_bands=).
 
-Three claims, each pinned:
+Pinned claims:
 1. The corpus_bands path is OUTPUT-IDENTICAL to re-hashing the corpus
-   (band_signatures is deterministic in its input rows).
+   (band_signatures is deterministic in its input rows), and a frame
+   without the band_signatures schema is rejected up front.
 2. Stream ≡ batch when duplicate groups are cliques: draining the
    same docs through a real file stream (maxFilesPerTrigger=1,
    groups split ACROSS micro-batches) keeps exactly the batch-mode
-   canonical-survivor set.
+   canonical-survivor set, and no two kept docs are ever near-dups.
 3. The documented online-vs-global divergence on transitive chains is
    pinned as behavior, not papered over: a chain A–B–C whose middle
    arrives (and is dropped) in an earlier batch keeps {A, C} online
    where global clustering keeps {A}.
+4. Replay safety: full replay and both partial-write windows converge
+   to identical state; a batch_id below committed history raises
+   (fresh-checkpoint protection); banding-parameter drift raises.
+5. Identity policy: first write wins — a re-sent doc_id never ingests
+   a second version.
+6. compact_corpus merges sealed bid partitions content-identically,
+   never touches the still-replayable newest one, and ingest/replay
+   continue correctly afterwards.
 """
 
 from __future__ import annotations
