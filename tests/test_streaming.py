@@ -615,3 +615,8 @@ def test_versioned_state_prunes_and_gates_on_commit_marker(spark, tmp_path):
     # replay of the newest version is legal
     _write_state_version(spark.createDataFrame([(13,)], "x long"), d, 1)
     assert read_state(spark, d).collect()[0].x == 13
+    # non-contiguous batch ids (the SCD2 sink skips empty batches):
+    # before_batch picks the newest version strictly below, not N-1
+    _write_state_version(spark.createDataFrame([(20,)], "x long"), d, 5)
+    assert read_state(spark, d, before_batch=9).collect()[0].x == 20
+    assert read_state(spark, d, before_batch=5).collect()[0].x == 13
