@@ -320,3 +320,44 @@ def test_wav_ulaw_quantization_property(n_channels, n_frames, data):
     assert [ulaw_to_linear(linear_to_ulaw(d)) for d in out["samples"]] == (
         out["samples"]
     )
+
+
+@given(
+    docs=st.lists(_doc, min_size=2, max_size=8),
+    split=st.integers(min_value=1, max_value=6),
+)
+@_settings
+def test_stored_bands_parity_property(spark, docs, split):
+    """Stored-signature search ≡ re-hash for ARBITRARY corpora, not
+    just the curated fixture: band_signatures is a pure function of
+    its input rows, so materializing it can never change the pair set
+    (the invariant the streaming ingest's correctness rests on)."""
+    from salesforce_postgresql_etl_spark.operators.dedup import (
+        band_signatures,
+        neardup_pairs_cross,
+    )
+
+    rows = [(i, d) for i, d in enumerate(docs)]
+    k = min(split, len(rows) - 1)
+    corpus = spark.createDataFrame(rows[:k], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i + 1000, d) for i, d in rows[k:]], "doc_id long, text string"
+    )
+    kw = {"threshold": 0.5, "n_hashes": 16, "bands": 8}
+    rehash = sorted(
+        tuple(r)
+        for r in neardup_pairs_cross(new, corpus, strategy="minhash", **kw).collect()
+    )
+    stored = sorted(
+        tuple(r)
+        for r in neardup_pairs_cross(
+            new,
+            corpus,
+            strategy="minhash",
+            corpus_bands=band_signatures(
+                corpus, n_hashes=kw["n_hashes"], bands=kw["bands"]
+            ),
+            **kw,
+        ).collect()
+    )
+    assert rehash == stored
