@@ -371,3 +371,30 @@ def test_compact_corpus(spark, tmp_path):
     assert stats2["docs"]["compacted"] and stats2["docs"]["partitions_merged"] == 2
     stats3 = compact_corpus(spark, corpus_dir)
     assert not stats3["docs"]["compacted"]
+
+
+def test_all_duplicate_batch_writes_empty_partition(spark, tmp_path):
+    """A micro-batch whose every doc is already kept still writes its
+    (empty) bid partitions — partition discovery, replay bookkeeping,
+    compaction, and later ingest must all survive zero-row parquet."""
+    from salesforce_postgresql_etl_spark.streaming.jobs import compact_corpus
+
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    doc = _doc([f"e{i}" for i in range(20)])
+    sink(spark.createDataFrame([(1, doc)], "doc_id long, text string"), 0)
+    # batch 1: an exact dup under a new id AND a re-sent id — both drop
+    sink(
+        spark.createDataFrame([(2, doc), (1, doc)], "doc_id long, text string"),
+        1,
+    )
+    assert _state(spark, corpus_dir)[0] == {1}
+    # batch 2 on top of the empty bid=1: novel doc ingests normally
+    novel = _doc([f"f{i}" for i in range(20)])
+    sink(spark.createDataFrame([(3, novel)], "doc_id long, text string"), 2)
+    assert _state(spark, corpus_dir)[0] == {1, 3}
+    # compaction across a zero-row sealed partition keeps content
+    before = _state(spark, corpus_dir)
+    stats = compact_corpus(spark, corpus_dir)
+    assert stats["docs"]["compacted"]
+    assert _state(spark, corpus_dir) == before
