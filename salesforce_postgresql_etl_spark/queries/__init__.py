@@ -98,6 +98,72 @@ _MODULES = (
 # textprep_q: q_repetition_filter q_chunk_docs q_domain_mix; cdc_q:
 # q_snapshot_diff q_sfid18 q_incremental_agg q_entity_match; +1
 # analytics_q head). After a green r8, max staleness is again ≤2.
+# r8 rotation (VERDICT r7 #1) — EXECUTED below as _R8_FRONT; verified
+# at rotation time that the 31 fronted r5-green names exactly equal the
+# set computed from CORRECTNESS_r01–r07 (latest-green == r5), per the
+# mechanical-ledger discipline (VERDICT r7 #6). Slots: relational 23 +
+# aggregates 8 + flagship q_agg_group + extras_q head 10 + textprep 3 +
+# cdc 4 + analytics head 1 = 50. After a green r8 run the staleness
+# histogram is {r8: 50, r7: 50, rest ≤2 rounds stale}.
+_R8_FRONT = (
+    # relational bulk — last green r5
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_between",
+    "q_filter_null",
+    "q_join_star",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_join_cross",
+    "q_join_self",
+    "q_agg_global",
+    "q_agg_countdistinct",
+    "q_agg_approx_cd",
+    "q_agg_having",
+    "q_sort",
+    "q_topk",
+    "q_limit_offset",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    # aggregates — last green r5
+    "q_agg_groupingsets",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_pivot",
+    "q_agg_stats",
+    "q_agg_median",
+    "q_agg_arrays",
+    "q_agg_maxby",
+    # flagship — always in-window
+    "q_agg_group",
+    # fill: stalest r6-green families
+    "q_neardup_clusters",
+    "q_salted_agg",
+    "q_rollup_cascade",
+    "q_reconcile",
+    "q_dq_report",
+    "q_scd2_merge",
+    "q_validate_rules",
+    "q_salted_join",
+    "q_quantile_sketch",
+    "q_unpivot",
+    "q_repetition_filter",
+    "q_chunk_docs",
+    "q_domain_mix",
+    "q_snapshot_diff",
+    "q_sfid18",
+    "q_incremental_agg",
+    "q_entity_match",
+    "q_funnel",
+)
+# r7 rotation (VERDICT r6 #1) — executed, 50/50 green in
+# CORRECTNESS_r07 (window == this tuple exactly, judge-verified).
+# Kept for the ledger. Superseded by _R8_FRONT above.
 _R7_FRONT = (
     # scalars — last green r4
     "q_str_funcs",
@@ -238,10 +304,10 @@ def _ensure_loaded() -> None:
 
 def registry() -> dict[str, Query]:
     _ensure_loaded()
-    unknown = [n for n in _R7_FRONT if n not in _REGISTRY]
+    unknown = [n for n in _R8_FRONT if n not in _REGISTRY]
     if unknown:  # typo guard: a misspelled front entry would silently
-        raise ValueError(f"_R7_FRONT names not registered: {unknown}")
-    front = {n: _REGISTRY[n] for n in _R7_FRONT}
+        raise ValueError(f"_R8_FRONT names not registered: {unknown}")
+    front = {n: _REGISTRY[n] for n in _R8_FRONT}
     rest = {n: q for n, q in _REGISTRY.items() if n not in front}
     return {**front, **rest}
 
