@@ -219,17 +219,23 @@ def decode_avi(data: bytes) -> dict:
         raise ValueError("truncated RIFF body")
     fmt = None
     vids_seen = 0
-    frame_chunks: list[tuple[int, int]] = []
+    vids_stream = None  # ordinal of the vids strl — IS its stream number
+    strl_ordinal = 0
+    all_chunks: list[tuple[bytes, int, int]] = []
 
     def collect_movi(start: int, size: int) -> None:
-        # Frame ids are '##db'/'##dc' with ## = the stream number of
-        # the (single) video stream; 'rec ' sub-lists group chunks for
-        # interleaved playback and just recurse.
+        # Frame ids are '##db'/'##dc' with ## = the stream's two-digit
+        # number (= its strl's position in hdrl order — not always 00:
+        # an AVI may list audio first, putting video frames in '01dc',
+        # r8 advice); 'rec ' sub-lists group chunks for interleaved
+        # playback and just recurse. Collect every stream's chunks
+        # here and filter by the vids stream id after the hdrl walk
+        # has identified it.
         for fourcc, p, sz in _walk(data, start, start + size):
             if fourcc == b"LIST" and data[p : p + 4] == b"rec ":
                 collect_movi(p + 4, sz - 4)
-            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2] == b"00":
-                frame_chunks.append((p, sz))
+            elif fourcc[2:4] in (b"db", b"dc"):
+                all_chunks.append((fourcc[:2], p, sz))
 
     for fourcc, p, sz in _walk(data, 12, end):
         if fourcc != b"LIST":
@@ -241,7 +247,9 @@ def decode_avi(data: bytes) -> dict:
                     fcc, strl_fmt = _parse_strl(data, p2 + 4, sz2 - 4)
                     if fcc == b"vids":
                         vids_seen += 1
+                        vids_stream = strl_ordinal
                         fmt = strl_fmt
+                    strl_ordinal += 1
         elif list_type == b"movi":
             collect_movi(p + 4, sz - 4)
 
@@ -249,6 +257,10 @@ def decode_avi(data: bytes) -> dict:
         raise ValueError("AVI has no video (vids) stream")
     if vids_seen > 1:
         raise ValueError(f"{vids_seen} video streams; single-stream scope")
+    if vids_stream > 99:
+        raise ValueError(f"video is stream {vids_stream}; two-digit scope")
+    stream_id = b"%02d" % vids_stream
+    frame_chunks = [(p, sz) for pre, p, sz in all_chunks if pre == stream_id]
     mjpeg = fmt["compression"] == _MJPG
     if not mjpeg and (
         fmt["planes"] != 1 or fmt["bpp"] != 24 or fmt["compression"] != 0
@@ -263,7 +275,9 @@ def decode_avi(data: bytes) -> dict:
     if width <= 0 or height == 0:
         raise ValueError(f"bad dimensions {width}x{height}")
     if not frame_chunks:
-        raise ValueError("AVI contains no frames")
+        raise ValueError(
+            f"AVI contains no frames for video stream {stream_id.decode()}"
+        )
     if mjpeg:
         from .jpeg import decode_jpeg
 

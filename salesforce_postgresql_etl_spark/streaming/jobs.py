@@ -529,6 +529,12 @@ def neardup_stream_sink(
     updates — route updates through a keyed upsert sink instead
     (r7 review: the earlier same-id J=1.0 exemption silently kept
     both versions and broke the pairwise-below-threshold invariant).
+    The same policy applies WITHIN one micro-batch: colliding ids are
+    reduced to a single deterministic row (min text — micro-batches
+    have no reliable row order) before any similarity work (r8
+    advice: the groupBy in the signature builder would otherwise
+    merge the rows' token sets into one signature and both rows would
+    be written).
 
     Banding parameters (n_hashes, bands, tokenizer, threshold) are
     persisted to ``corpus_dir/meta`` on first use and verified every
@@ -587,6 +593,25 @@ def neardup_stream_sink(
         if batch.isEmpty():
             return
         _check_meta(spark)
+        for sub in ("docs", "bands"):
+            if _compaction_leftovers(spark, corpus_dir, sub):
+                raise ValueError(
+                    f"corpus at {corpus_dir} has a leftover compaction "
+                    f"staging dir beside {sub}/ (a compact_corpus run "
+                    "crashed mid-window, so the corpus may be missing "
+                    "rows): run compact_corpus to recover before "
+                    "draining."
+                )
+        # first-write-wins WITHIN the batch too (r8 advice): duplicate
+        # doc_ids in one micro-batch would otherwise have their token
+        # sets merged into a single signature by _minhash_band_rows'
+        # groupBy('doc_id') — double-counting shared tokens in sz and
+        # voiding the size-ratio prefilter's premise — and BOTH rows
+        # would land in docs, breaking the one-row-per-id policy. A
+        # micro-batch has no reliable row order, so "first" is made
+        # deterministic (min text), which replays require anyway: the
+        # recomputed survivor set must match what already landed.
+        batch = batch.groupBy("doc_id").agg(F.min("text").alias("text"))
         committed = _committed_partition_ids(spark, docs_dir, "bid=")
         if committed and batch_id < committed[-1]:
             raise ValueError(
@@ -693,28 +718,45 @@ def compact_corpus(
     Crash safety mirrors the write protocol: the merged rows are fully
     staged in a SIBLING temp dir first (invisible to partition
     discovery — not a ``bid=`` name; its ``_SUCCESS`` marks it
-    complete), and only then are the source dirs removed and the temp
-    renamed in. A crash before any removal leaves the corpus exactly
-    as it was; a crash inside the removal/rename window leaves a
-    maintenance job to re-run, never a half-merged PARTITION (each
-    rm/rename is per-directory). At 100 TB this job is a transactional
+    complete and is the COMMIT POINT: from then on the staged dir is
+    the authoritative content of every partition with bid ≤ kept_bid).
+    Only then are the source dirs deleted and the temp renamed to
+    ``bid=<kept_bid>``. A crash before the commit point leaves the
+    corpus exactly as it was (the partial stage is garbage, discarded
+    on the next run); a crash inside the delete/rename window is
+    COMPLETED on the next run — ``_recover_compaction`` runs at entry,
+    detects a committed ``__compact_tmp_*`` dir, finishes deleting the
+    stale ``bid ≤ kept_bid`` sources, and renames the stage in — so
+    re-running the job genuinely recovers every window (r8 advice: the
+    previous delete-then-rename order stranded the committed stage,
+    and a re-run could recompute a merge MISSING the already-deleted
+    partitions). Until that re-run happens the corpus is incomplete;
+    ``neardup_stream_sink`` refuses to drain over a leftover stage dir
+    rather than silently missing duplicates. All destructive ops go
+    through the same Hadoop FileSystem handle the listing uses (r8
+    advice: local-only shutil/os.rename contradicted the
+    same-code-everywhere claim), so local disk, HDFS, and object
+    stores take one code path. At 100 TB this job is a transactional
     table's OPTIMIZE, exactly like ``sources/compaction.py`` — and
     like every plain-parquet maintenance job it owns the table while
     it runs: call it BETWEEN drains, never concurrently with one.
 
     Returns per-dir before/after file counts.
     """
-    import shutil
-
     from ..sources.compaction import dir_parquet_stats
 
     stats = {}
     for sub in ("docs", "bands"):
         dir_path = os.path.join(corpus_dir, sub)
+        recovered = _recover_compaction(spark, corpus_dir, sub)
         ids = _committed_partition_ids(spark, dir_path, "bid=")
         sealed = ids[:-1]  # never the newest — see docstring
         if len(sealed) < 2:
-            stats[sub] = {"compacted": False, "partitions": len(ids)}
+            stats[sub] = {
+                "compacted": False,
+                "partitions": len(ids),
+                "recovered": recovered,
+            }
             continue
         srcs = [os.path.join(dir_path, f"bid={i}") for i in sealed]
         n_before = sum(dir_parquet_stats(s)[0] for s in srcs)
@@ -725,14 +767,81 @@ def compact_corpus(
         merged = spark.read.parquet(*srcs).repartition(n_target)
         tmp = f"{dir_path.rstrip('/')}__compact_tmp_{sealed[-1]}"
         merged.write.mode("overwrite").parquet(tmp)
+        # ---- commit point: tmp has _SUCCESS ----
+        # delete sources THEN rename; a crash anywhere in this window
+        # is completed by _recover_compaction on the next run
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(dir_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
         for s in srcs:
-            shutil.rmtree(s)
-        os.rename(tmp, os.path.join(dir_path, f"bid={sealed[-1]}"))
+            fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
+        dest = jvm.org.apache.hadoop.fs.Path(
+            dir_path, f"bid={sealed[-1]}"
+        )
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest):
+            raise IOError(f"rename {tmp} -> {dest} failed")
         stats[sub] = {
             "compacted": True,
             "files_before": n_before,
             "files_after": n_target,
             "partitions_merged": len(sealed),
             "kept_bid": sealed[-1],
+            "recovered": recovered,
         }
     return stats
+
+
+def _compaction_leftovers(spark, corpus_dir: str, sub: str) -> list:
+    """Hadoop-FS paths of ``<sub>__compact_tmp_*`` staging dirs left by
+    a crashed ``compact_corpus`` run (they live BESIDE ``<sub>``, under
+    ``corpus_dir``, so partition discovery never sees them)."""
+    jvm = spark._jvm
+    parent = jvm.org.apache.hadoop.fs.Path(corpus_dir)
+    fs = parent.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(parent):
+        return []
+    pfx = f"{sub}__compact_tmp_"
+    return [
+        st.getPath()
+        for st in fs.listStatus(parent)
+        if st.getPath().getName().startswith(pfx)
+    ]
+
+
+def _recover_compaction(spark, corpus_dir: str, sub: str) -> int:
+    """Complete or discard leftover compaction staging dirs; returns
+    the number of COMMITTED stages reintegrated.
+
+    An uncommitted stage (no ``_SUCCESS``) means the crash happened
+    before the commit point: every source partition is intact and the
+    partial stage is garbage — delete it. A committed stage with
+    ``kept_bid=K`` is the authoritative content of every partition
+    with ``bid ≤ K``: finish the interrupted window by deleting any
+    of those still present, then renaming the stage to ``bid=K``.
+    (The rename is what removes the stage dir, so a committed stage
+    existing at all proves the rename never ran — ``bid=K``, if
+    present, is still original source data, safe to delete.)"""
+    jvm = spark._jvm
+    dir_path = os.path.join(corpus_dir, sub)
+    fs = jvm.org.apache.hadoop.fs.Path(corpus_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    pfx = f"{sub}__compact_tmp_"
+    recovered = 0
+    for tmp in _compaction_leftovers(spark, corpus_dir, sub):
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(tmp, "_SUCCESS")):
+            fs.delete(tmp, True)
+            continue
+        kept = int(tmp.getName()[len(pfx):])
+        for i in _committed_partition_ids(spark, dir_path, "bid="):
+            if i <= kept:
+                fs.delete(
+                    jvm.org.apache.hadoop.fs.Path(dir_path, f"bid={i}"),
+                    True,
+                )
+        dest = jvm.org.apache.hadoop.fs.Path(dir_path, f"bid={kept}")
+        if not fs.rename(tmp, dest):
+            raise IOError(f"rename {tmp} -> {dest} failed")
+        recovered += 1
+    return recovered

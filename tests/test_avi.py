@@ -100,6 +100,55 @@ def test_avi_skips_junk_idx1_and_recurses_rec_lists():
     assert d["frames"] == [f1, f2]
 
 
+def test_avi_video_not_first_stream():
+    """A spec-valid AVI may list its audio stream first — the video
+    frames then live in '01db' chunks (the stream number is the strl's
+    position in hdrl order). The decoder must match frames by the vids
+    stream's actual id, not a hard-coded '00' (r8 advice), and skip
+    the other stream's '00wb' audio chunks."""
+    f1, f2 = _gradient(5, 4), _gradient(5, 4, seed=3)
+    base = encode_avi([f1, f2])
+    body = base[12:]
+    (hsz,) = struct.unpack_from("<I", body, 4)
+    hdrl_payload = body[12 : 8 + hsz]
+    (asz,) = struct.unpack_from("<I", hdrl_payload, 4)
+    avih = bytearray(hdrl_payload[: 8 + asz + (asz & 1)])
+    struct.pack_into("<I", avih, 8 + 24, 2)  # Streams = 2
+    vids_strl = hdrl_payload[len(avih) :]
+    auds_strl = _list(
+        b"strl",
+        _chunk(b"strh", struct.pack("<4s4s", b"auds", b"PCM "))
+        + _chunk(b"strf", b"\x00" * 16),
+    )
+    hdrl = _list(b"hdrl", bytes(avih) + auds_strl + vids_strl)
+    # movi: frames renamed 00db→01db, audio 00wb chunks interleaved
+    movi_raw = body[8 + hsz + (hsz & 1) :]
+    (msz,) = struct.unpack_from("<I", movi_raw, 4)
+    inner = movi_raw[12 : 8 + msz]
+    frames = []
+    pos = 0
+    while pos < len(inner):
+        (csz,) = struct.unpack_from("<I", inner, pos + 4)
+        assert inner[pos : pos + 2] == b"00"
+        frames.append(b"01" + inner[pos + 2 : pos + 8 + csz + (csz & 1)])
+        pos += 8 + csz + (csz & 1)
+    movi_inner = _chunk(b"00wb", b"\xaa" * 11)
+    for fr in frames:
+        movi_inner += fr + _chunk(b"00wb", b"\x55" * 8)
+    rebuilt_body = b"AVI " + hdrl + _list(b"movi", movi_inner)
+    rebuilt = struct.pack("<4sI", b"RIFF", len(rebuilt_body)) + rebuilt_body
+    d = decode_avi(rebuilt)
+    assert (d["width"], d["height"], d["n_frames"]) == (5, 4, 2)
+    assert d["frames"] == [f1, f2]
+
+    # and when the frames DON'T carry the vids stream's id, the error
+    # names the stream it was looking for instead of a bare "no frames"
+    wrong_body = b"AVI " + hdrl + _list(b"movi", inner)  # frames at 00db
+    wrong = struct.pack("<4sI", b"RIFF", len(wrong_body)) + wrong_body
+    with pytest.raises(ValueError, match="stream 01"):
+        decode_avi(wrong)
+
+
 def test_avi_honest_scope_rejections():
     f = _gradient(6, 4)
     good = encode_avi([f])

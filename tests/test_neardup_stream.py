@@ -298,6 +298,107 @@ def test_same_id_first_write_wins(spark, tmp_path):
     assert kept == {(1, v1), (2, v2)}
 
 
+def test_within_batch_same_id_single_row(spark, tmp_path):
+    """r8 advice: duplicate doc_ids WITHIN one micro-batch must reduce
+    to one deterministic row before any similarity work — otherwise
+    the signature builder's groupBy('doc_id') merges both rows' token
+    sets into one signature (double-counting sz, voiding the
+    size-ratio prefilter premise) and BOTH rows land in docs."""
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    v1 = _doc([f"a{i}" for i in range(20)])
+    v2 = _doc([f"b{i}" for i in range(20)])  # disjoint tokens: J(v1,v2)=0
+    df = spark.createDataFrame(
+        [(1, v2), (1, v1), (2, v2)], "doc_id long, text string"
+    )
+    sink(df, 0)
+    kept = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(corpus_dir + "/docs").collect()
+    }
+    # id 1 keeps exactly ONE row — the deterministic min-text pick;
+    # id 2's v2 is no near-dup of the kept v1 and survives
+    assert kept == {(1, v1), (2, v2)}
+    # band state matches: id 1's sz counts v1's 20 tokens, not the
+    # 40-token union of both versions
+    szs = {
+        r.doc_id: r.sz
+        for r in spark.read.parquet(corpus_dir + "/bands")
+        .select("doc_id", "sz")
+        .distinct()
+        .collect()
+    }
+    assert szs == {1: 20, 2: 20}
+    # the deterministic pick is what makes a replay land identically
+    before = _state(spark, corpus_dir)
+    sink(df, 0)
+    assert _state(spark, corpus_dir) == before
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """r8 advice: the delete/rename window must be genuinely
+    recoverable. A committed staging dir left by a crash — before any
+    delete, or mid-delete — is reintegrated by the next run; an
+    uncommitted stage is discarded; and the sink refuses to drain
+    while any stage dir is present (the corpus may be missing rows)."""
+    import pytest
+
+    from salesforce_postgresql_etl_spark.streaming.jobs import compact_corpus
+
+    docs = _clique_docs()
+    batches = [docs[0::3], docs[1::3], docs[2::3]]
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, "doc_id long, text string"), i)
+    before = _state(spark, corpus_dir)
+    docs_dir = tmp_path / "corpus" / "docs"
+
+    # window 1: crash AFTER the commit point, BEFORE any delete —
+    # stage the merge exactly as compact_corpus does (_SUCCESS lands),
+    # leave every source in place
+    tmp = str(tmp_path / "corpus" / "docs__compact_tmp_1")
+    spark.read.parquet(
+        str(docs_dir / "bid=0"), str(docs_dir / "bid=1")
+    ).repartition(1).write.parquet(tmp)
+    extra = spark.createDataFrame(
+        [(900, _doc([f"q{i}" for i in range(20)]))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="compact_corpus"):
+        sink(extra, 3)  # refuses to drain over the leftover stage
+    stats = compact_corpus(spark, corpus_dir)
+    assert stats["docs"]["recovered"] == 1
+    assert _state(spark, corpus_dir) == before  # content fully restored
+
+    # window 2: crash MID-DELETE — stage bands' merge, then lose one
+    # source dir before the crash
+    sink(extra, 3)  # fresh sealed pair (bands bids 1, 2 now sealed)
+    after3 = _state(spark, corpus_dir)
+    bands_dir = tmp_path / "corpus" / "bands"
+    tmp2 = str(tmp_path / "corpus" / "bands__compact_tmp_2")
+    spark.read.parquet(
+        str(bands_dir / "bid=1"), str(bands_dir / "bid=2")
+    ).repartition(1).write.parquet(tmp2)
+    import shutil
+
+    shutil.rmtree(str(bands_dir / "bid=1"))  # the crash ate one delete
+    stats2 = compact_corpus(spark, corpus_dir)
+    assert stats2["bands"]["recovered"] == 1
+    assert _state(spark, corpus_dir) == after3
+
+    # an UNCOMMITTED stage (no _SUCCESS) is garbage: discarded, corpus
+    # untouched
+    stale = tmp_path / "corpus" / "docs__compact_tmp_99"
+    stale.mkdir()
+    (stale / "part-junk.parquet").write_bytes(b"\x00")
+    with pytest.raises(ValueError, match="compact_corpus"):
+        sink(extra, 4)
+    compact_corpus(spark, corpus_dir)
+    assert not stale.exists()
+    assert _state(spark, corpus_dir) == after3
+
+
 def test_corpus_bands_schema_check(spark):
     """A frame without the band_signatures columns is rejected up
     front — not silently joined into zero candidates."""
