@@ -60,6 +60,7 @@ _BNL_ALLOWED = {
     "q_neardup_incremental",  # brute cross-corpus oracle baseline; scale path = bipartite LSH
     "q_neardup_embed",  # brute oracle baseline; scale path = IVF/LSH
     "q_simsearch_topk",  # brute top-k baseline; scale path = IVF probe
+    "q_media_embed",  # brute top-k over a 12-image fixture; scale path = IVF/PQ (tests/test_media_embed.py)
     "q_tfidf",  # 1-row corpus-N joined to every doc
     "q_dq_report",  # 1-row × 1-row report assembly crosses
     "q_bm25",  # 1-row avgdl/N stats joined to every scored doc
