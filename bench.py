@@ -268,17 +268,9 @@ def _extra_benches():
     }
 
 
-def _rotate_stderr_log() -> None:
-    """(r7, VERDICT r6 #6) Per-round stderr artifact: derive the round
-    number from the newest BENCH_r{N}.json (+1 — the current round's
-    artifact doesn't exist while the driver's sweep runs) and redirect
-    fd 2 to a truncated bench_err_r{N}.log so every warning in it is
-    attributable to the sweep that produced it. Only the file being
-    written is truncated — other rounds' logs are left alone (r7
-    review: a mid-round re-bench AFTER the round's BENCH artifact has
-    landed computes N+1 and must not destroy the genuine round-N log).
-    dup2 on the raw fd happens BEFORE the JVM launches, so Spark/log4j
-    stderr lands there too."""
+def _current_round() -> int:
+    """Round number = newest BENCH_r{N}.json + 1 (the current round's
+    artifact doesn't exist while the driver's sweep runs)."""
     import glob
     import re
 
@@ -290,7 +282,18 @@ def _rotate_stderr_log() -> None:
         )
         if m
     ]
-    rnd = max(rounds, default=0) + 1
+    return max(rounds, default=0) + 1
+
+
+def _rotate_stderr_log(rnd: int) -> None:
+    """(r7, VERDICT r6 #6) Per-round stderr artifact: redirect fd 2 to
+    a truncated bench_err_r{N}.log so every warning in it is
+    attributable to the sweep that produced it. Only the file being
+    written is truncated — other rounds' logs are left alone (r7
+    review: a mid-round re-bench AFTER the round's BENCH artifact has
+    landed computes N+1 and must not destroy the genuine round-N log).
+    dup2 on the raw fd happens BEFORE the JVM launches, so Spark/log4j
+    stderr lands there too."""
     errf = open(os.path.join(REPO, f"bench_err_r{rnd:02d}.log"), "w")
     sys.stderr.flush()
     os.dup2(errf.fileno(), 2)
@@ -300,7 +303,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    _rotate_stderr_log()
+    rnd = _current_round()
+    _rotate_stderr_log(rnd)
 
     from salesforce_postgresql_etl_spark.session import get_spark
     from salesforce_postgresql_etl_spark.queries import all_queries
@@ -375,24 +379,37 @@ def main() -> None:
         n: (round(t / cal_mid, 2) if t >= 0 else -1.0)
         for n, t in times.items()
     }
-    print(
-        json.dumps(
-            {
-                "metric": "sweep_wall_s",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_normalized": normalized,
-                "sf": float(sf),
-                "cpus": cpus,
-                "n_queries": len(times),
-                "calibration_range_sum_s": calibration_s,
-                "calibration_range_sum_end_s": calibration_end_s,
-                "loadavg_1m_start": round(loadavg_start, 2),
-                "loadavg_1m_end": round(os.getloadavg()[0], 2),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "sweep_wall_s",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "queries_normalized": normalized,
+            "sf": float(sf),
+            "cpus": cpus,
+            "n_queries": len(times),
+            "calibration_range_sum_s": calibration_s,
+            "calibration_range_sum_end_s": calibration_end_s,
+            "loadavg_1m_start": round(loadavg_start, 2),
+            "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        }
     )
+    print(payload)
+    # (r8, VERDICT r7 #8) Also write the sweep JSON to a file: the
+    # driver's r7 tail capture truncated the stdout JSON mid-dict and
+    # the raw per-query seconds had to be reconstructed from
+    # queries_normalized × mean calibration. The file survives
+    # independent of any stdout capture. Same at-sf0.1-only guard as
+    # the stderr log: a local sf0.01 iteration loop must not overwrite
+    # the round's record, so smaller scale factors suffix the SF.
+    local_name = (
+        f"BENCH_LOCAL_r{rnd:02d}.json"
+        if sf == "0.1"
+        else f"BENCH_LOCAL_r{rnd:02d}_sf{sf}.json"
+    )
+    with open(os.path.join(REPO, local_name), "w") as fh:
+        fh.write(payload + "\n")
     spark.stop()
     import shutil
 
