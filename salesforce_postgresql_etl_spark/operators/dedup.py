@@ -374,6 +374,75 @@ def neardup_pairs_cross(
     return _exact_jaccard(pairs, threshold)
 
 
+def neardup_pairs_from_bands(
+    docs: DataFrame,
+    stored_bands: DataFrame,
+    threshold: float = 0.95,
+    tokenizer: str = "words",
+) -> DataFrame:
+    """SELF near-dup over a corpus whose band signatures are ALREADY
+    materialized (the ``band_signatures`` table): candidates come from
+    a self-join of the stored buckets — history is never re-tokenized
+    or re-hashed — and only candidate-HIT docs are tokenized for the
+    exact Jaccard verify. The maintenance-job twin of
+    ``neardup_pairs_cross(corpus_bands=...)``; ``reclose_corpus`` is
+    the caller (r8, VERDICT r7 #4).
+
+    ``docs`` must cover every doc_id appearing in ``stored_bands``
+    whose pairs should be verifiable — a candidate whose text is
+    missing from ``docs`` produces no token row and silently drops out
+    of the verify join, which is exactly the desired semantics for
+    consumed tombstones (their edges are out of retention scope).
+
+    Scale shape: identical to the ingest stored path — shuffle keys
+    are (band, bh) buckets, the size-ratio prefilter kills ~95% of
+    bucket collisions before any text is fetched, and the corpus text
+    scan is pruned to the candidate-hit subset by a semi join.
+    """
+    missing = {"doc_id", "band", "bh", "sz"} - set(stored_bands.columns)
+    if missing:
+        raise ValueError(
+            f"stored_bands missing column(s) {sorted(missing)}; expected "
+            "the band_signatures schema (doc_id, band, bh, sz)"
+        )
+    bb = stored_bands.select("doc_id", "band", "bh", "sz")
+    ca = bb.select(
+        F.col("doc_id").alias("doc_a"), "band", "bh", F.col("sz").alias("sz_a")
+    )
+    cb = bb.select(
+        F.col("doc_id").alias("doc_b"), "band", "bh", F.col("sz").alias("sz_b")
+    )
+    # lazy localCheckpoint: the candidate subtree contains the
+    # corpus-proportional stored-bands self-join and is referenced by
+    # the verify join AND the two pruning semi joins below — same
+    # sharing rule as the cross path's stored branch (r7 review)
+    candidates = (
+        ca.join(cb, ["band", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(_size_compatible(threshold))  # lossless — see docstring
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hit_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # candidate-hit docs tokenize once and feed both verify sides
+    tok = token_sets(
+        docs.join(hit_ids, "doc_id", "left_semi"), tokenizer=tokenizer
+    ).localCheckpoint(eager=False)
+    a = tok.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    b = tok.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    pairs = (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", "t_a", "t_b")
+    )
+    return _exact_jaccard(pairs, threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash Hamming-radius near-dup (the follow-through on llm_ext.py's
 # "banded sub-signatures for Hamming distance > 0" note)

@@ -427,6 +427,124 @@ def test_stream_every_kept_pair_below_threshold(spark, tmp_path):
     assert viol == 0
 
 
+def _chain_docs():
+    """A–B–C transitive chain: J(A,B)=J(B,C)=18/22≈0.82 ≥ θ,
+    J(A,C)=16/24≈0.67 < θ (the pinned divergence fixture)."""
+    base = [f"w{i}" for i in range(1, 21)]
+    return (
+        _doc(base[:18] + ["x1", "x2"]),  # A
+        _doc(base),  # B
+        _doc(base[2:] + ["y1", "y2"]),  # C
+    )
+
+
+def test_reclose_converges_chain_to_batch_mode(spark, tmp_path):
+    """VERDICT r7 #4: the pinned online-vs-batch chain divergence,
+    then re-closure, then set equality with batch mode. B (the middle)
+    is dropped in batch 0 as A's dup; C arrives in batch 1 and is kept
+    online (it never sees B). Re-closure recovers the A–B–C chain from
+    the tombstoned B's stored signature and drops C."""
+    a_doc, b_doc, c_doc = _chain_docs()
+    docs = [(1, a_doc), (2, b_doc), (3, c_doc)]
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    sink(spark.createDataFrame(docs[:2], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame(docs[2:], "doc_id long, text string"), 1)
+    assert _state(spark, corpus_dir)[0] == {1, 3}  # the online divergence
+    # tombstone state: B's row AND band rows are stored
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/dropped").collect()
+    } == {2}
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/dropped_bands")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    } == {2}
+
+    from salesforce_postgresql_etl_spark.streaming.jobs import reclose_corpus
+
+    stats = reclose_corpus(spark, corpus_dir)
+    kept, bands = _state(spark, corpus_dir)
+    assert kept == _batch_survivors(spark, docs) == {1}
+    assert {b[0] for b in bands} == {1}  # band state matches
+    assert stats == {
+        "kept": 1,
+        "removed_from_kept": 1,
+        "resurrected": 0,
+        "tombstones_consumed": True,
+    }
+    # tombstones consumed: no bid= partitions remain in either pile
+    for sub in ("dropped", "dropped_bands"):
+        sub_dir = tmp_path / "corpus" / sub
+        assert not any(
+            p.name.startswith("bid=") for p in sub_dir.iterdir()
+        )
+    # ingest continues: next batch id is accepted, history still dedups
+    sink(
+        spark.createDataFrame(
+            [(50, a_doc), (51, _doc([f"n{i}" for i in range(20)]))],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    assert _state(spark, corpus_dir)[0] == {1, 51}
+
+
+def test_reclose_resurrects_min_id_middle(spark, tmp_path):
+    """When the dropped middle has the MINIMUM id, batch mode keeps
+    the doc the sink dropped — re-closure must RESURRECT it from the
+    tombstones and drop both online survivors."""
+    a_doc, b_doc, c_doc = _chain_docs()
+    docs = [(2, a_doc), (1, b_doc), (3, c_doc)]
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    for bid, row in enumerate(docs):
+        sink(spark.createDataFrame([row], "doc_id long, text string"), bid)
+    # online: A(2) kept; B(1) dropped as A's dup; C(3) kept (A≁C)
+    assert _state(spark, corpus_dir)[0] == {2, 3}
+
+    from salesforce_postgresql_etl_spark.streaming.jobs import reclose_corpus
+
+    stats = reclose_corpus(spark, corpus_dir)
+    kept, bands = _state(spark, corpus_dir)
+    assert kept == _batch_survivors(spark, docs) == {1}
+    assert {b[0] for b in bands} == {1}
+    assert stats["resurrected"] == 1 and stats["kept"] == 1
+    assert stats["removed_from_kept"] == 2  # both online survivors out
+
+
+def test_reclose_noop_on_cliques_and_idempotent(spark, tmp_path):
+    """On a clique corpus (online ≡ batch already) re-closure changes
+    nothing content-wise — state is byte-identical — and a second run
+    is a no-op too (consumed tombstones re-derive nothing)."""
+    docs = _clique_docs()
+    batches = [docs[0::3], docs[1::3], docs[2::3]]
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    for i, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, "doc_id long, text string"), i)
+    before = _state(spark, corpus_dir)
+
+    from salesforce_postgresql_etl_spark.streaming.jobs import reclose_corpus
+
+    stats = reclose_corpus(spark, corpus_dir)
+    assert _state(spark, corpus_dir) == before
+    assert stats["removed_from_kept"] == 0 and stats["resurrected"] == 0
+    stats2 = reclose_corpus(spark, corpus_dir)
+    assert _state(spark, corpus_dir) == before
+    assert stats2["removed_from_kept"] == 0 and stats2["resurrected"] == 0
+    # the rewrite doubled as compaction: one partition per state dir
+    docs_parts = [
+        p.name
+        for p in (tmp_path / "corpus" / "docs").iterdir()
+        if p.name.startswith("bid=")
+    ]
+    assert len(docs_parts) == 1
+
+
 def test_compact_corpus(spark, tmp_path):
     """Small-files maintenance: sealed bid partitions merge into one,
     state content is byte-identical, the newest partition stays
