@@ -89,6 +89,35 @@ def test_hot_block_refine_subblocks(spark):
     assert got <= full
 
 
+def test_hot_block_salt_is_lossless(spark):
+    """r8 (VERDICT r7 #5): the salt split emits EXACTLY the unguarded
+    pair set — including attrs in canonical (k_a < k_b) orientation —
+    just across triangle buckets instead of one reducer. Checked for
+    several bucket counts, including n larger than the block."""
+    recs = _skewed(spark)
+    unguarded = blocked_pairs(recs, "k", F.col("blk_src"), attrs=["attr"])
+    exp_pairs = _pair_set(unguarded)
+    exp_full = {
+        (r.k_a, r.k_b, r.attr_a, r.attr_b) for r in unguarded.collect()
+    }
+    for n in (2, 3, 8, 32):
+        got = blocked_pairs(
+            recs,
+            "k",
+            F.col("blk_src"),
+            attrs=["attr"],
+            max_block_size=10,
+            on_oversize="salt",
+            salt_buckets=n,
+        )
+        rows = got.collect()
+        assert {(r.k_a, r.k_b) for r in rows} == exp_pairs, f"n={n}"
+        # no duplicate emission across buckets, canonical orientation,
+        # attrs swapped consistently with their keys
+        assert len(rows) == len(exp_pairs), f"n={n}"
+        assert {(r.k_a, r.k_b, r.attr_a, r.attr_b) for r in rows} == exp_full
+
+
 def test_usage_errors(spark):
     recs = _skewed(spark)
     with pytest.raises(ValueError, match="unknown on_oversize"):
