@@ -333,6 +333,66 @@ def q_neardup_stream_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept
 
 
+# Chain A(1)–B(2)–C(3): J(A,B)=J(B,C)=18/22 ≥ θ, J(A,C)=16/24 < θ.
+# Online ingest keeps {A, C} (B drops in batch 0, C never sees it);
+# batch mode keeps {A}. In the "resurrect" case the middle holds the
+# MINIMUM id, so batch mode keeps the doc the sink dropped. Re-closure
+# converges both to batch mode — kept = {1}, 20 tokens either way.
+_RECLOSE_ORACLE = """
+SELECT * FROM (VALUES ('chain', 1, 20), ('resurrect', 1, 20))
+     AS t(example, doc_id, n_tokens)
+"""
+
+
+@register("q_reclose_chain", oracle=_RECLOSE_ORACLE)
+def q_reclose_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch re-closure of the streaming corpus: the pinned
+    online-vs-batch chain divergence (and its min-id-middle
+    resurrection twin) converge to the batch-canonical survivor set —
+    re-clustered entirely from stored signatures and tombstones, no
+    history re-hashing."""
+    import shutil
+    import tempfile
+
+    from ..streaming.jobs import neardup_stream_sink, reclose_corpus
+
+    base = [f"w{i}" for i in range(1, 21)]
+    a_doc = " ".join(base[:18] + ["x1", "x2"])
+    b_doc = " ".join(base)
+    c_doc = " ".join(base[2:] + ["y1", "y2"])
+    cases = {
+        "chain": [(1, a_doc), (2, b_doc), (3, c_doc)],
+        "resurrect": [(2, a_doc), (1, b_doc), (3, c_doc)],
+    }
+    outs = []
+    for example, docs in cases.items():
+        corpus_dir = tempfile.mkdtemp(prefix=f"q_reclose_{example}_")
+        try:
+            sink = neardup_stream_sink(
+                corpus_dir, threshold=_THETA, **_BANDING
+            )
+            for bid, row in enumerate(docs):
+                sink(
+                    spark.createDataFrame(
+                        [row], "doc_id long, text string"
+                    ),
+                    bid,
+                )
+            reclose_corpus(spark, corpus_dir)
+            outs.append(
+                spark.read.parquet(corpus_dir + "/docs")
+                .select(
+                    F.lit(example).alias("example"),
+                    "doc_id",
+                    F.size(F.split("text", " ")).alias("n_tokens"),
+                )
+                .localCheckpoint(eager=True)  # materialize before rmtree
+            )
+        finally:
+            shutil.rmtree(corpus_dir, ignore_errors=True)
+    return outs[0].unionByName(outs[1])
+
+
 _COMPACT_ORACLE = """
 SELECT * FROM (VALUES (0, 21, 16, 1, 1), (10, 21, 16, 1, 1),
                       (20, 21, 16, 1, 1), (30, 21, 16, 1, 1),

