@@ -267,6 +267,76 @@ def q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per clip: the top-2 SET is its two codec mates (within-clip cosine
+# ≥ 0.983, cross-clip ≤ 0.838 — band_energy_features' measured margins).
+# Unlike q_media_embed's identical-pixel tie, the two mates' cosines
+# here differ by real (lossy-codec) margins, but the registered output
+# drops ``rnk`` anyway so the pin is a pure SET statement — robust even
+# to an intra-group rank flip.
+_AUDIO_EMBED_ORACLE = """
+SELECT * FROM (VALUES
+    (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1),
+    (3, 4), (3, 5), (4, 3), (4, 5), (5, 3), (5, 4),
+    (6, 7), (6, 8), (7, 6), (7, 8), (8, 6), (8, 7),
+    (9, 10), (9, 11), (10, 9), (10, 11), (11, 9), (11, 10))
+     AS t(qid, vec_id)
+"""
+
+
+@register("q_audio_embed", oracle=_AUDIO_EMBED_ORACLE)
+def q_audio_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-embedding bridge into the ANN stack: 81-float log-band-
+    energy descriptors (unit-L2, volume-invariant, one Arrow crossing)
+    → ``topk_cosine``. k=2 pins the duplicate-group structure — each
+    clip's two nearest neighbors are its own clip's other codecs
+    (PCM16/μ-law/ADPCM). Integer-only pair output."""
+    from ..operators.media_embed import audio_embeddings
+    from ..operators.simsearch import topk_cosine
+
+    media = _audio_media(spark).repartition(4)
+    emb = audio_embeddings(media, fake=True).withColumn("label", F.lit(0))
+    emb = emb.localCheckpoint(eager=True)  # decode once (see q_media_embed)
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    # broadcast hint for the same no-stats reason as q_media_embed
+    return topk_cosine(F.broadcast(emb), queries, k=2, strategy="brute").select(
+        "qid", "vec_id"
+    )
+
+
+_VIDEO_EMBED_ORACLE = """
+SELECT * FROM (VALUES
+    (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1),
+    (3, 4), (3, 5), (4, 3), (4, 5), (5, 3), (5, 4),
+    (6, 7), (6, 8), (7, 6), (7, 8), (8, 6), (8, 7))
+     AS t(qid, vec_id)
+"""
+
+
+@register("q_video_embed", oracle=_VIDEO_EMBED_ORACLE)
+def q_video_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-embedding bridge: real demux → per-frame DCT descriptors →
+    order-independent unit-mean pooling (``mean_q40``) → ``topk_cosine``.
+    k=2 pins each clip's two container re-encodes (GIF/DIB-AVI/Y4M pool
+    the same frames → cosine ≈ 1; cross-clip decorrelates). Pair-set
+    output, rank-flip-robust like q_audio_embed."""
+    from ..operators.media_embed import video_embeddings
+    from ..operators.simsearch import topk_cosine
+
+    media = _video_media(spark).repartition(3)
+    emb = video_embeddings(media, n_frames=3, fake=True).withColumn(
+        "label", F.lit(0)
+    )
+    emb = emb.localCheckpoint(eager=True)  # decode once
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    return topk_cosine(F.broadcast(emb), queries, k=2, strategy="brute").select(
+        "qid", "vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming ingest + corpus maintenance — the foreachBatch near-dup
 # sink driven batch-by-batch (the T1–T5 batch≡stream pattern)
