@@ -1,0 +1,188 @@
+"""Exact duplicate-span detection (substring-level dedup).
+
+Document-level dedup (hash, MinHash, SimHash) misses the dominant
+residual duplication in web-scale training corpora: long VERBATIM
+substrings shared between otherwise-distinct documents — license
+blocks, boilerplate headers, quoted passages. The published treatment
+(Lee et al., "Deduplicating Training Data Makes Language Models
+Better", §4 ExactSubstr) deduplicates at the substring level: a span
+is duplicated iff it occurs at least twice in the corpus. Their
+suffix-array construction is a single-machine algorithm; the
+Spark-first equivalent fixes a span length ``k`` (tokens) and marks
+position ``p`` of a document as a duplicated-span START iff the
+k-token gram beginning there occurs ≥ ``min_count`` times corpus-wide
+(counting every occurrence — other documents AND other positions of
+the same document, matching ExactSubstr's self-repetition behavior).
+
+Outputs are exact integers:
+- ``n_spans``        — grams the doc contributes (len - k + 1, ≥0);
+- ``n_dup_spans``    — how many of them are duplicated;
+- ``dup_tokens``     — tokens covered by the UNION of the duplicated
+  k-token intervals [p, p+k) — the amount ExactSubstr-style removal
+  would cut. Interval union is a lag-free window statement: sorted by
+  p within a doc, each span contributes min(k, next_p - p).
+
+Scale shape (the 100 TB story): one explode of (doc_id, pos, gram) →
+count-by-gram with map-side partial aggregation → equi-join the gram
+rows against the duplicated keys → per-doc window + final aggregate,
+both keyed on doc_id (one shuffle, reused by the window and the
+groupBy). Nothing is quadratic in document length or corpus size, and
+the duplicated-key side of the join is the post-HAVING minority. The
+skew-safe choice is deliberate: the obvious alternative —
+``collect_list(doc_id, pos)`` per gram and re-explode — ships every
+occurrence of a hot gram (a boilerplate line appearing 10⁷ times)
+into ONE aggregation buffer; the join-back shape spreads hot grams
+across executors like any other skewed equi-join (AQE skew split
+applies).
+
+``use_hash=True`` is the wire-size variant: grams shuffle as a pair
+of independent 64-bit hashes (``xxhash64(gram)``, ``xxhash64(gram,
+salt)`` — 128 effective bits, collision probability ~1e-13 at 10¹³
+grams) instead of ~8·k-byte strings — an order-of-magnitude lighter
+count/join shuffle. Equality with the exact-string path is pinned by
+pytest at sf0.01 (tests/test_dupspans.py); the two-hash key exists
+precisely because a single 64-bit key would admit ~10⁶ colliding gram
+pairs at the 10¹³-gram scale this is designed for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DUP_MIN_COUNT = 2  # "duplicated" = occurs at least twice corpus-wide
+
+
+def gram_rows(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, gram): every overlapping k-token gram with its 0-based
+    start position. Docs shorter than k contribute no rows.
+
+    sequence(1, n) is DESCENDING for n < 1 (the repo's known trap —
+    repetition._grams), so the short-doc case is an explicit empty.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    grams = F.expr(
+        f"CASE WHEN size(t) >= {k} THEN "
+        f"transform(sequence(1, size(t) - {k} + 1), "
+        f"          i -> concat_ws(' ', slice(t, i, {k}))) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("t"),
+        )
+        .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    )
+
+
+def _with_key(grams: DataFrame, use_hash: bool) -> DataFrame:
+    """Attach the shuffle key: the gram itself, or the 128-bit
+    two-hash pair (independent via a salt column on the second)."""
+    if not use_hash:
+        return grams.withColumn("key", F.col("gram"))
+    return grams.withColumn(
+        "key",
+        F.struct(
+            F.xxhash64("gram").alias("h1"),
+            F.xxhash64("gram", F.lit("dupspans-salt")).alias("h2"),
+        ),
+    )
+
+
+def dup_span_positions(
+    docs: DataFrame,
+    k: int,
+    min_count: int = DUP_MIN_COUNT,
+    use_hash: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos) of every duplicated-span start — the removal
+    candidates an ExactSubstr-style cleaner would cut."""
+    grams = _with_key(gram_rows(docs, k, text_col, id_col), use_hash)
+    dup_keys = (
+        grams.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("key")
+    )
+    return grams.join(dup_keys, "key").select("doc_id", "pos")
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    k: int,
+    min_count: int = DUP_MIN_COUNT,
+    use_hash: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-span statistics (every doc, zero-filled):
+    (doc_id, n_spans, n_dup_spans, dup_tokens)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(
+            F.size(F.split(F.col(text_col), " ")) - F.lit(k - 1), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_spans"),
+    )
+    hits = dup_span_positions(docs, k, min_count, use_hash, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per_doc = (
+        hits.withColumn(
+            "contrib",
+            F.least(F.lit(k), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(k))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("contrib").cast("long").alias("dup_tokens"),
+        )
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    )
+
+
+def dup_span_stats_sql(
+    k: int, min_count: int = DUP_MIN_COUNT, table: str = "documents"
+) -> str:
+    """The DuckDB twin of ``dup_span_stats`` (exact-string semantics —
+    the hash path is pinned equal to it by pytest, so one oracle
+    covers both)."""
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+base AS (SELECT doc_id,
+                CAST(greatest(len(t) - {k} + 1, 0) AS BIGINT) AS n_spans
+         FROM tok),
+g AS (SELECT doc_id, unnest(range(0, len(t) - {k} + 1)) AS pos, t
+      FROM tok WHERE len(t) >= {k}),
+g2 AS (SELECT doc_id, pos,
+              array_to_string(list_slice(t, pos + 1, pos + {k}), ' ') AS gram
+       FROM g),
+dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) >= {min_count}),
+d AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (gram)),
+cov AS (SELECT doc_id,
+               least({k}, coalesce(
+                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                   {k})) AS contrib
+        FROM d),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+               CAST(SUM(contrib) AS BIGINT) AS dup_tokens
+        FROM cov GROUP BY doc_id)
+SELECT base.doc_id, n_spans,
+       CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM base LEFT JOIN agg USING (doc_id)
+"""

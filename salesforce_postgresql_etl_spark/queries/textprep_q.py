@@ -19,6 +19,7 @@ from ..operators.repetition import (
     TOP_BIGRAM_PCT,
     repetition_profile,
 )
+from ..operators.dupspans import dup_span_stats, dup_span_stats_sql
 from ..operators.sampling import mixture_copies_sql, mixture_resample
 from ..sources import load
 from . import register
@@ -103,4 +104,19 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     return mixture_resample(
         d, "source", MIX_WEIGHTS, "doc_id", default_weight=MIX_DEFAULT
+    )
+
+
+DUP_SPAN_K = 8  # tokens per span (fixture docs run ~30 tokens)
+
+
+@register("q_dup_spans", oracle=dup_span_stats_sql(DUP_SPAN_K))
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span stats per doc: span starts
+    whose k-gram occurs ≥2× corpus-wide, plus the union-interval token
+    coverage removal would cut. Registers the HASHED shuffle-key scale
+    path (128-bit two-hash keys); the oracle is the exact-string SQL —
+    the equality the pytest in test_dupspans.py pins is graded here."""
+    return dup_span_stats(
+        load(spark, sf_dir, "documents"), k=DUP_SPAN_K, use_hash=True
     )

@@ -61,6 +61,8 @@ _BNL_ALLOWED = {
     "q_neardup_embed",  # brute oracle baseline; scale path = IVF/LSH
     "q_simsearch_topk",  # brute top-k baseline; scale path = IVF probe
     "q_media_embed",  # brute top-k over a 12-image fixture; scale path = IVF/PQ (tests/test_media_embed.py)
+    "q_audio_embed",  # brute top-k over a 12-clip fixture; same scale story
+    "q_video_embed",  # brute top-k over a 9-clip fixture; same scale story
     "q_tfidf",  # 1-row corpus-N joined to every doc
     "q_dq_report",  # 1-row × 1-row report assembly crosses
     "q_bm25",  # 1-row avgdl/N stats joined to every scored doc
