@@ -228,6 +228,52 @@ def q_neardup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_embed_pairs(emb, threshold=COS_THETA, strategy="brute")
 
 
+# The LSH scale path, graded in the regime it is FOR (θ=0.9, dedup):
+# the corpus is embeddings ∪ an exact re-keyed copy (+10000), so the
+# qualifying pair set is the 500 planted duplicates (the fixture's
+# organic pairs top out at cosine ~0.51 — measured, see the brute
+# docstring above). Identical vectors share every sign-band, so the
+# banded candidate join finds each planted pair with probability 1 —
+# no probabilistic caveat — and the exact verify scores candidates
+# with the same decimal-quantized cosine as the SQL, so even the
+# float cosine column hash-matches. The oracle is the full brute SQL
+# over the same union (not a hardcoded pin): if the fixture ever grew
+# an organic ≥0.9 pair, both sides would have to agree on it.
+LSH_DEDUP_THETA = 0.9
+
+
+@register(
+    "q_neardup_embed_lsh",
+    oracle=f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000, embedding FROM embeddings),
+ex AS (SELECT vec_id, unnest(embedding) AS v,
+              unnest(range(1, len(embedding) + 1)) AS pos
+       FROM corpus),
+n2 AS (SELECT vec_id, {_NE_N2} AS n2
+       FROM ex GROUP BY vec_id),
+d AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_NE_DOT} AS dot
+      FROM ex q JOIN ex c ON q.pos = c.pos AND q.vec_id < c.vec_id
+      GROUP BY 1, 2)
+SELECT vec_a, vec_b, d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
+FROM d JOIN n2 na ON na.vec_id = vec_a JOIN n2 nb ON nb.vec_id = vec_b
+WHERE d.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {LSH_DEDUP_THETA}
+""",
+)
+def q_neardup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-plane LSH embedding near-dup, driver-graded: banded
+    candidates from (band, band_hash) equi-joins + exact verify find
+    exactly the planted duplicate set at the dedup threshold."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    return neardup_embed_pairs(
+        corpus, threshold=LSH_DEDUP_THETA, strategy="lsh"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Language-ID (marker-word heuristic) — the MECHANISM is the operator;
 # the fixture's text is one shared vocabulary, so accuracy is not the

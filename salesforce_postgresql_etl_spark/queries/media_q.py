@@ -267,6 +267,54 @@ def q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF with REAL pruning (nprobe=1 of 4 inverted lists), graded: the
+# scene id is the label, so each query's best centroid is its own
+# scene (within-scene cosine ≥ 0.99 vs decorrelated cross-scene) and
+# the pruned list still contains the true top-2 — the same pair set
+# q_media_embed pins by brute. rnk dropped for the same set-statement
+# robustness as the audio/video twins below.
+_SIMSEARCH_IVF_ORACLE = """
+SELECT * FROM (VALUES
+    (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1),
+    (3, 4), (3, 5), (4, 3), (4, 5), (5, 3), (5, 4),
+    (6, 7), (6, 8), (7, 6), (7, 8), (8, 6), (8, 7),
+    (9, 10), (9, 11), (10, 9), (10, 11), (11, 9), (11, 10))
+     AS t(qid, vec_id)
+"""
+
+
+@register("q_simsearch_ivf", oracle=_SIMSEARCH_IVF_ORACLE)
+def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with genuine inverted-list pruning, driver-graded:
+    centroid ranking keeps nprobe=1 of 4 labels per query, the scan
+    touches only that label's list, and the result still equals the
+    brute pair structure (tests/test_llm_ops.py proves the partial-
+    probe ≡ brute contract; this registers it against a driver
+    oracle). Index = label_centroids over scene labels — mean_q40
+    per dimension, bit-identical under any partitioning."""
+    from ..operators.media_embed import image_embeddings
+    from ..operators.simsearch import label_centroids, topk_cosine
+
+    media = _image_media(spark).repartition(4)
+    emb = (
+        image_embeddings(media, fake=True)
+        .withColumn("label", (F.col("vec_id") / 3).cast("int"))
+        .localCheckpoint(eager=True)  # decode once
+    )
+    cents = label_centroids(emb)
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    return topk_cosine(
+        F.broadcast(emb),
+        queries,
+        k=2,
+        strategy="ivf",
+        nprobe=1,
+        centroids=F.broadcast(cents),
+    ).select("qid", "vec_id")
+
+
 # Per clip: the top-2 SET is its two codec mates (within-clip cosine
 # ≥ 0.983, cross-clip ≤ 0.838 — band_energy_features' measured margins).
 # Unlike q_media_embed's identical-pixel tie, the two mates' cosines
