@@ -63,9 +63,7 @@ def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L2 — near-dup pairs by exact token-set Jaccard (brute registered;
 # the MinHash-LSH strategy produces identical output — see operators)
 # ---------------------------------------------------------------------------
-@register(
-    "q_neardup_jaccard",
-    oracle=f"""
+_JACCARD_ORACLE = f"""
 WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t
              FROM documents),
 p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -76,11 +74,24 @@ p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 SELECT doc_a, doc_b, CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
 FROM p
 WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= {NEARDUP_THRESHOLD}
-""",
-)
+"""
+
+
+@register("q_neardup_jaccard", oracle=_JACCARD_ORACLE)
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return neardup_pairs(d, threshold=NEARDUP_THRESHOLD, strategy="brute")
+
+
+@register("q_neardup_minhash", oracle=_JACCARD_ORACLE)
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH scale path graded against the SAME brute SQL
+    oracle as q_neardup_jaccard: (band, band_hash) equi-join candidates
+    + exact Jaccard verify — identical output (the hash functions are
+    fixed, so equality on this data is deterministic, pinned since r1
+    in tests/test_llm_ops.py and now driver-graded)."""
+    d = load(spark, sf_dir, "documents")
+    return neardup_pairs(d, threshold=NEARDUP_THRESHOLD, strategy="minhash")
 
 
 # ---------------------------------------------------------------------------

@@ -315,6 +315,44 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("qid", "vec_id")
 
 
+# PQ two-stage search with genuine shortlist pruning (6 of 11
+# candidates per query): ADC over 7×9-dim codebooks ranks by
+# compressed codes alone, the exact re-rank touches only the
+# shortlist, and the top-2 still equals the brute pair structure
+# (tests/test_media_embed.py pins the trained-index contract; this
+# grades it). Training is md5-init deterministic k-means per
+# subspace — bit-identical across runs and partitionings.
+_SIMSEARCH_PQ_ORACLE = """
+SELECT * FROM (VALUES
+    (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1),
+    (3, 4), (3, 5), (4, 3), (4, 5), (5, 3), (5, 4),
+    (6, 7), (6, 8), (7, 6), (7, 8), (8, 6), (8, 7),
+    (9, 10), (9, 11), (10, 9), (10, 11), (11, 9), (11, 10))
+     AS t(qid, vec_id)
+"""
+
+
+@register("q_simsearch_pq", oracle=_SIMSEARCH_PQ_ORACLE)
+def q_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC shortlist + exact re-rank, driver-graded: the corpus is
+    scanned only through 7-byte codes, exact vectors are fetched for a
+    6-candidate shortlist per query, and the re-ranked top-2 recovers
+    each image's duplicate group."""
+    from ..operators.media_embed import image_embeddings
+    from ..operators.pq import pq_encode, pq_topk, pq_train
+
+    media = _image_media(spark).repartition(4)
+    emb = image_embeddings(media, fake=True).localCheckpoint(eager=True)
+    cb = pq_train(emb, m=7, k=8, iters=2, init="md5")
+    codes = pq_encode(emb, cb)
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    return pq_topk(
+        codes, cb, queries, k=2, rerank_with=emb, shortlist=6
+    ).select("qid", "vec_id")
+
+
 # Per clip: the top-2 SET is its two codec mates (within-clip cosine
 # ≥ 0.983, cross-clip ≤ 0.838 — band_energy_features' measured margins).
 # Unlike q_media_embed's identical-pixel tie, the two mates' cosines
