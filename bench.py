@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     # entry) and the funnel's conversion-window variant.
     "q_entity_match",
     "q_funnel_horizon",
+    # r8: ExactSubstr-style duplicate-span stats over the hashed-key
+    # path (explode → count-by-gram → join-back → doc-keyed window).
+    "q_dup_spans",
 ]
 
 
@@ -114,7 +117,15 @@ def _extra_benches():
     """Bench-only entries: the SCALE paths of the near-dup and
     similarity operators. The registered queries keep the brute forms
     (they are the DuckDB-checkable oracles); at 100 TB these pruned
-    forms are what runs, so the sweep times them round-over-round."""
+    forms are what runs, so the sweep times them round-over-round.
+
+    r8 note: four of these names (q_neardup_minhash, q_simsearch_ivf,
+    q_neardup_embed_lsh, q_simsearch_pq) now ALSO exist as registered
+    queries grading the same code paths on small deterministic
+    fixtures. The dict update below deliberately shadows those with
+    the sf-scale variants here — the bench times the operator at
+    sf0.1, the registry grades its correctness; same strategy code
+    either way."""
     from salesforce_postgresql_etl_spark.operators.dedup import neardup_pairs
     from salesforce_postgresql_etl_spark.operators.simsearch import topk_cosine
     from salesforce_postgresql_etl_spark.queries.llm import NEARDUP_THRESHOLD
