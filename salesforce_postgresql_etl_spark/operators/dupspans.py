@@ -155,6 +155,137 @@ def dup_span_stats(
     )
 
 
+def removal_starts(
+    docs: DataFrame,
+    k: int,
+    min_count: int = DUP_MIN_COUNT,
+    use_hash: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos) of every occurrence EXCEPT the globally-first one
+    of each duplicated k-gram — the spans ExactSubstr removal cuts.
+    "First" is the (doc_id, pos)-minimal occurrence: deterministic,
+    and it keeps exactly one copy of every duplicated span corpus-wide.
+    """
+    grams = _with_key(gram_rows(docs, k, text_col, id_col), use_hash)
+    dup_keys = (
+        grams.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("key")
+    )
+    w = Window.partitionBy("key").orderBy("doc_id", "pos")
+    return (
+        grams.join(dup_keys, "key")
+        .withColumn("occ", F.row_number().over(w))
+        .filter(F.col("occ") >= 2)
+        .select("doc_id", "pos")
+    )
+
+
+def strip_dup_spans(
+    docs: DataFrame,
+    k: int,
+    min_count: int = DUP_MIN_COUNT,
+    use_hash: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The cleaned corpus: of each duplicated k-gram, every occurrence
+    EXCEPT the globally-first is cut, token-level interval union.
+    Returns (doc_id, clean_text, n_kept, n_removed) for every doc —
+    a doc whose every token is covered keeps an empty clean_text.
+    Note the union semantics on self-overlapping repeats: a kept first
+    occurrence loses any tokens it SHARES with a removed neighboring
+    occurrence ("m"×8 at k=4 keeps a single "m" — removal intervals
+    [1,8) cover all but position 0), exactly as a substring-removal
+    pass over the raw text would behave.
+
+    Distributed reassembly shape: removal starts explode to covered
+    token positions (k rows per start, then distinct), kept tokens are
+    a left-anti join on (doc_id, pos), and the text is rebuilt with
+    sort_array(collect_list(struct(pos, tok))) per doc — an explicit
+    in-array sort, so the result is partition-independent. Everything
+    is linear in corpus size; per-doc state is one token array (the
+    same bound the tokenize step already holds)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+    covered = (
+        removal_starts(docs, k, min_count, use_hash, text_col, id_col)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tok") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )
+
+
+def strip_dup_spans_sql(
+    k: int, min_count: int = DUP_MIN_COUNT, table: str = "documents"
+) -> str:
+    """DuckDB twin of ``strip_dup_spans`` (exact-string semantics)."""
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok),
+g AS (SELECT doc_id, unnest(range(0, len(t) - {k} + 1)) AS pos, t
+      FROM tok WHERE len(t) >= {k}),
+g2 AS (SELECT doc_id, pos,
+              array_to_string(list_slice(t, pos + 1, pos + {k}), ' ') AS gram
+       FROM g),
+dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) >= {min_count}),
+occ AS (SELECT g2.doc_id, g2.pos,
+               ROW_NUMBER() OVER (PARTITION BY g2.gram
+                                  ORDER BY g2.doc_id, g2.pos) AS rn
+        FROM g2 JOIN dup USING (gram)),
+cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS pos
+        FROM occ WHERE rn >= 2),
+alltok AS (SELECT doc_id, unnest(range(0, len(t))) AS pos,
+                  unnest(t) AS tok
+           FROM tok),
+kept AS (SELECT a.doc_id, a.pos, a.tok
+         FROM alltok a LEFT JOIN cov
+           ON a.doc_id = cov.doc_id AND a.pos = cov.pos
+         WHERE cov.pos IS NULL),
+rebuilt AS (SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id)
+SELECT base.doc_id,
+       COALESCE(clean_text, '') AS clean_text,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(n_tok - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+FROM base LEFT JOIN rebuilt USING (doc_id)
+"""
+
+
 def dup_span_stats_sql(
     k: int, min_count: int = DUP_MIN_COUNT, table: str = "documents"
 ) -> str:

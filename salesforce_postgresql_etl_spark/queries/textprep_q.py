@@ -19,7 +19,12 @@ from ..operators.repetition import (
     TOP_BIGRAM_PCT,
     repetition_profile,
 )
-from ..operators.dupspans import dup_span_stats, dup_span_stats_sql
+from ..operators.dupspans import (
+    dup_span_stats,
+    dup_span_stats_sql,
+    strip_dup_spans,
+    strip_dup_spans_sql,
+)
 from ..operators.sampling import mixture_copies_sql, mixture_resample
 from ..sources import load
 from . import register
@@ -118,5 +123,17 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (128-bit two-hash keys); the oracle is the exact-string SQL —
     the equality the pytest in test_dupspans.py pins is graded here."""
     return dup_span_stats(
+        load(spark, sf_dir, "documents"), k=DUP_SPAN_K, use_hash=True
+    )
+
+
+@register("q_strip_dup_spans", oracle=strip_dup_spans_sql(DUP_SPAN_K))
+def q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus ExactSubstr removal produces: of every
+    duplicated k-gram, all but the globally-first occurrence are cut
+    (interval-union at token level) and each doc's text is rebuilt
+    with a partition-independent in-array sort. Every clean_text byte
+    is oracle-checked, not just the counts."""
+    return strip_dup_spans(
         load(spark, sf_dir, "documents"), k=DUP_SPAN_K, use_hash=True
     )

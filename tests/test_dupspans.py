@@ -8,6 +8,7 @@ from __future__ import annotations
 from salesforce_postgresql_etl_spark.operators.dupspans import (
     dup_span_positions,
     dup_span_stats,
+    strip_dup_spans,
 )
 from salesforce_postgresql_etl_spark.sources import load
 
@@ -90,6 +91,59 @@ class TestDupSpanStats:
         got = sorted((r.doc_id, r.pos) for r in hits.collect())
         # shared grams: "b c d" (pos 1) and "c d e" (pos 2) in both
         assert got == [(1, 1), (1, 2), (2, 1), (2, 2)]
+
+
+class TestStripDupSpans:
+    def _clean(self, spark, rows, k, **kw):
+        out = strip_dup_spans(_docs(spark, rows), k=k, **kw).orderBy("doc_id")
+        return [
+            (r.doc_id, r.clean_text, r.n_kept, r.n_removed)
+            for r in out.collect()
+        ]
+
+    def test_first_occurrence_kept_later_cut(self, spark):
+        got = self._clean(
+            spark,
+            [(1, "a b c d e f"), (2, "a b c d x y"), (3, "p q r")],
+            k=4,
+        )
+        assert got == [
+            (1, "a b c d e f", 6, 0),
+            (2, "x y", 2, 4),
+            (3, "p q r", 3, 0),
+        ]
+
+    def test_self_overlap_union_semantics(self, spark):
+        # "m"×8, k=4: removal intervals for occurrences at pos 1..4
+        # union to [1,8) — only position 0 survives (the documented
+        # substring-removal behavior on self-overlapping repeats).
+        assert self._clean(spark, [(4, "m m m m m m m m")], k=4) == [
+            (4, "m", 1, 7)
+        ]
+
+    def test_fully_covered_doc_keeps_empty_text(self, spark):
+        # doc 2 is an exact copy of doc 1 at k = doc length: its one
+        # gram is the later occurrence — everything removed.
+        assert self._clean(
+            spark, [(1, "x y z w"), (2, "x y z w")], k=4
+        ) == [(1, "x y z w", 4, 0), (2, "", 0, 4)]
+
+    def test_first_is_global_doc_pos_minimum(self, spark):
+        # the shared gram appears at doc 5 pos 2 and doc 6 pos 0:
+        # (5,2) < (6,0) by doc ordering, so doc 6 takes the cut.
+        got = self._clean(
+            spark, [(5, "q r a b c"), (6, "a b c t u")], k=3
+        )
+        assert got == [
+            (5, "q r a b c", 5, 0),
+            (6, "t u", 2, 3),
+        ]
+
+    def test_hash_path_matches_string_path(self, spark):
+        rows = [(i, f"h{i % 3} j k l m{i}") for i in range(9)]
+        s = self._clean(spark, rows, k=3, use_hash=False)
+        h = self._clean(spark, rows, k=3, use_hash=True)
+        assert s == h
 
 
 class TestHashPathEquality:
