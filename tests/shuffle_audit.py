@@ -56,6 +56,9 @@ AUDIT = [
     "q_neardup_embed_lsh",
     "q_neardup_clusters_lsh",
     "q_simsearch_ivf",
+    # r8: duplicate-span detection — the hashed-key shuffle claim
+    "q_dup_spans",
+    "q_strip_dup_spans",
 ]
 
 
