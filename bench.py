@@ -296,16 +296,24 @@ def _current_round() -> int:
     return max(rounds, default=0) + 1
 
 
-def _rotate_stderr_log(rnd: int) -> None:
+def _rotate_stderr_log(rnd: int, sf: str) -> None:
     """(r7, VERDICT r6 #6) Per-round stderr artifact: redirect fd 2 to
     a truncated bench_err_r{N}.log so every warning in it is
     attributable to the sweep that produced it. Only the file being
     written is truncated — other rounds' logs are left alone (r7
     review: a mid-round re-bench AFTER the round's BENCH artifact has
     landed computes N+1 and must not destroy the genuine round-N log).
-    dup2 on the raw fd happens BEFORE the JVM launches, so Spark/log4j
-    stderr lands there too."""
-    errf = open(os.path.join(REPO, f"bench_err_r{rnd:02d}.log"), "w")
+    Below-sf0.1 runs suffix the SF for the same reason the JSON file
+    does: a local sf0.01 iteration loop must not truncate the round's
+    genuine sweep record (r8 review — the suffix was documented but
+    only implemented for the JSON). dup2 on the raw fd happens BEFORE
+    the JVM launches, so Spark/log4j stderr lands there too."""
+    name = (
+        f"bench_err_r{rnd:02d}.log"
+        if sf == "0.1"
+        else f"bench_err_r{rnd:02d}_sf{sf}.log"
+    )
+    errf = open(os.path.join(REPO, name), "w")
     sys.stderr.flush()
     os.dup2(errf.fileno(), 2)
 
@@ -315,7 +323,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     rnd = _current_round()
-    _rotate_stderr_log(rnd)
+    _rotate_stderr_log(rnd, sf)
 
     from salesforce_postgresql_etl_spark.session import get_spark
     from salesforce_postgresql_etl_spark.queries import all_queries

@@ -227,9 +227,15 @@ def strip_dup_spans(
         .distinct()
     )
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    # greatest(, 0): size(split(NULL)) is -1, which would make a
+    # NULL-text doc report n_removed = -1 (r8 review; dup_span_stats
+    # has the same guard). posexplode of NULL emits no token rows, so
+    # such a doc keeps an empty clean_text and zero counts.
     base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+        F.greatest(F.size(F.split(F.col(text_col), " ")), F.lit(0))
+        .cast("long")
+        .alias("n_tok"),
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
@@ -257,7 +263,9 @@ def strip_dup_spans_sql(
     """DuckDB twin of ``strip_dup_spans`` (exact-string semantics)."""
     return f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
-base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok),
+base AS (SELECT doc_id,
+                CAST(COALESCE(len(t), 0) AS BIGINT) AS n_tok
+         FROM tok),
 g AS (SELECT doc_id, unnest(range(0, len(t) - {k} + 1)) AS pos, t
       FROM tok WHERE len(t) >= {k}),
 g2 AS (SELECT doc_id, pos,

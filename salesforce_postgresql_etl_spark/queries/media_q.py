@@ -160,16 +160,41 @@ def _video_media(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Oracle generators: every fixture is n duplicate groups × 3 encodings
+# (ids 3g..3g+2), so the expected outputs are pure functions of the
+# group count — generated once here instead of five hand-maintained
+# VALUES tables that would have to change in lockstep with the
+# fixture geometry (r8 review).
+# ---------------------------------------------------------------------------
+def _triangle_pairs_oracle(n_groups: int, cols: str) -> str:
+    """Unordered within-group pairs (a < b): each group's triangle."""
+    vals = ", ".join(
+        f"({3 * g + a}, {3 * g + b})"
+        for g in range(n_groups)
+        for a, b in ((0, 1), (0, 2), (1, 2))
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t({cols})"
+
+
+def _topk_set_oracle(n_groups: int) -> str:
+    """Directed top-2 neighbor sets: each member's two group mates."""
+    vals = ", ".join(
+        f"({3 * g + a}, {3 * g + b})"
+        for g in range(n_groups)
+        for a in range(3)
+        for b in range(3)
+        if a != b
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(qid, vec_id)"
+
+
+# ---------------------------------------------------------------------------
 # Perceptual near-dup — the cross-codec/cross-container duplicate sets
 # exact content_id dedup cannot see
 # ---------------------------------------------------------------------------
 # Each scene's BMP/PNG/JPEG triangle — verified stable 3/3 by the local
 # differential before registration (the r8 discipline).
-_PHASH_ORACLE = """
-SELECT * FROM (VALUES (0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5),
-                      (6, 7), (6, 8), (7, 8), (9, 10), (9, 11), (10, 11))
-     AS t(media_a, media_b)
-"""
+_PHASH_ORACLE = _triangle_pairs_oracle(4, "media_a, media_b")
 
 
 @register("q_phash_neardup", oracle=_PHASH_ORACLE)
@@ -187,11 +212,7 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AUDIOFP_ORACLE = """
-SELECT * FROM (VALUES (0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5),
-                      (6, 7), (6, 8), (7, 8), (9, 10), (9, 11), (10, 11))
-     AS t(media_a, media_b)
-"""
+_AUDIOFP_ORACLE = _triangle_pairs_oracle(4, "media_a, media_b")
 
 
 @register("q_audiofp_neardup", oracle=_AUDIOFP_ORACLE)
@@ -208,11 +229,7 @@ def q_audiofp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VIDEO_ORACLE = """
-SELECT * FROM (VALUES (0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5),
-                      (6, 7), (6, 8), (7, 8))
-     AS t(media_a, media_b)
-"""
+_VIDEO_ORACLE = _triangle_pairs_oracle(3, "media_a, media_b")
 
 
 @register("q_video_neardup", oracle=_VIDEO_ORACLE)
@@ -273,14 +290,7 @@ def q_media_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the pruned list still contains the true top-2 — the same pair set
 # q_media_embed pins by brute. rnk dropped for the same set-statement
 # robustness as the audio/video twins below.
-_SIMSEARCH_IVF_ORACLE = """
-SELECT * FROM (VALUES
-    (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1),
-    (3, 4), (3, 5), (4, 3), (4, 5), (5, 3), (5, 4),
-    (6, 7), (6, 8), (7, 6), (7, 8), (8, 6), (8, 7),
-    (9, 10), (9, 11), (10, 9), (10, 11), (11, 9), (11, 10))
-     AS t(qid, vec_id)
-"""
+_SIMSEARCH_IVF_ORACLE = _topk_set_oracle(4)
 
 
 @register("q_simsearch_ivf", oracle=_SIMSEARCH_IVF_ORACLE)
@@ -322,14 +332,7 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tests/test_media_embed.py pins the trained-index contract; this
 # grades it). Training is md5-init deterministic k-means per
 # subspace — bit-identical across runs and partitionings.
-_SIMSEARCH_PQ_ORACLE = """
-SELECT * FROM (VALUES
-    (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1),
-    (3, 4), (3, 5), (4, 3), (4, 5), (5, 3), (5, 4),
-    (6, 7), (6, 8), (7, 6), (7, 8), (8, 6), (8, 7),
-    (9, 10), (9, 11), (10, 9), (10, 11), (11, 9), (11, 10))
-     AS t(qid, vec_id)
-"""
+_SIMSEARCH_PQ_ORACLE = _topk_set_oracle(4)
 
 
 @register("q_simsearch_pq", oracle=_SIMSEARCH_PQ_ORACLE)
@@ -359,14 +362,7 @@ def q_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here differ by real (lossy-codec) margins, but the registered output
 # drops ``rnk`` anyway so the pin is a pure SET statement — robust even
 # to an intra-group rank flip.
-_AUDIO_EMBED_ORACLE = """
-SELECT * FROM (VALUES
-    (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1),
-    (3, 4), (3, 5), (4, 3), (4, 5), (5, 3), (5, 4),
-    (6, 7), (6, 8), (7, 6), (7, 8), (8, 6), (8, 7),
-    (9, 10), (9, 11), (10, 9), (10, 11), (11, 9), (11, 10))
-     AS t(qid, vec_id)
-"""
+_AUDIO_EMBED_ORACLE = _topk_set_oracle(4)
 
 
 @register("q_audio_embed", oracle=_AUDIO_EMBED_ORACLE)
@@ -391,13 +387,7 @@ def q_audio_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_VIDEO_EMBED_ORACLE = """
-SELECT * FROM (VALUES
-    (0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1),
-    (3, 4), (3, 5), (4, 3), (4, 5), (5, 3), (5, 4),
-    (6, 7), (6, 8), (7, 6), (7, 8), (8, 6), (8, 7))
-     AS t(qid, vec_id)
-"""
+_VIDEO_EMBED_ORACLE = _topk_set_oracle(3)
 
 
 @register("q_video_embed", oracle=_VIDEO_EMBED_ORACLE)

@@ -531,7 +531,10 @@ def neardup_stream_sink(
        threshold — rules out any same-batch re-drop).
 
     Identity policy: FIRST WRITE WINS. An incoming ``doc_id`` already
-    present in (another batch of) the corpus is dropped by an id
+    present in (another batch of) the corpus — KEPT or TOMBSTONED
+    (r8 review: a re-sent id whose first write was dropped as a
+    near-dup is still the same logical doc; re-ingesting it would put
+    the id in docs/ and dropped/ at once) — is dropped by an id
     anti-join BEFORE any similarity work — same id = the same logical
     document re-sent (a CDC re-emission or an update), never a new
     near-duplicate. An updated text under an existing id is therefore
@@ -614,6 +617,14 @@ def neardup_stream_sink(
                     "rows): run compact_corpus to recover before "
                     "draining."
                 )
+        if _reclose_leftovers(spark, corpus_dir):
+            raise ValueError(
+                f"corpus at {corpus_dir} has leftover re-closure "
+                "staging dirs (a reclose_corpus run crashed "
+                "mid-window, so docs/bands may disagree): run "
+                "reclose_corpus (or compact_corpus) to recover "
+                "before draining."
+            )
         # first-write-wins WITHIN the batch too (r8 advice): duplicate
         # doc_ids in one micro-batch would otherwise have their token
         # sets merged into a single signature by _minhash_band_rows'
@@ -653,6 +664,22 @@ def neardup_stream_sink(
             batch = batch.join(
                 corpus.select("doc_id"), "doc_id", "left_anti"
             )
+            # ...and against the TOMBSTONED ids too (r8 review): a
+            # re-sent id whose first write was dropped as a near-dup
+            # is still the same logical doc — re-ingesting it would
+            # put the id in docs/ AND dropped/ at once, and a later
+            # re-closure would either drop the kept row (its old text
+            # still clusters with its canonical) or emit duplicate
+            # rows for the id. Same replay rule as the corpus read:
+            # this batch's own tombstone partition is excluded.
+            if _committed_partition_ids(spark, dropped_dir, "bid="):
+                batch = batch.join(
+                    spark.read.parquet(dropped_dir)
+                    .where(F.col("bid") != batch_id)
+                    .select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
         wpairs = neardup_pairs(
             batch,
             threshold=threshold,
@@ -778,6 +805,9 @@ def compact_corpus(
     """
     from ..sources.compaction import dir_parquet_stats
 
+    # a crashed re-closure leaves PAIRED stages that per-dir recovery
+    # must not half-complete — recover (or discard) the pair first
+    _recover_reclose(spark, corpus_dir)
     stats = {}
     for sub in _CORPUS_SUBS:
         dir_path = os.path.join(corpus_dir, sub)
@@ -801,19 +831,10 @@ def compact_corpus(
         tmp = f"{dir_path.rstrip('/')}__compact_tmp_{sealed[-1]}"
         merged.write.mode("overwrite").parquet(tmp)
         # ---- commit point: tmp has _SUCCESS ----
-        # delete sources THEN rename; a crash anywhere in this window
-        # is completed by _recover_compaction on the next run
-        jvm = spark._jvm
-        fs = jvm.org.apache.hadoop.fs.Path(dir_path).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-        for s in srcs:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
-        dest = jvm.org.apache.hadoop.fs.Path(
-            dir_path, f"bid={sealed[-1]}"
-        )
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest):
-            raise IOError(f"rename {tmp} -> {dest} failed")
+        # delete sources THEN rename (the shared _integrate_stage
+        # window); a crash anywhere inside is completed by
+        # _recover_compaction on the next run
+        _integrate_stage(spark, dir_path, sealed[-1], tmp)
         stats[sub] = {
             "compacted": True,
             "files_before": n_before,
@@ -852,10 +873,14 @@ def reclose_corpus(
     2. ``dedup_clusters`` over the full pair graph → batch-canonical
        survivors (min id per component — tombstoned middles can win,
        i.e. be RESURRECTED),
-    3. state rewritten through the same staged-commit protocol as
-       ``compact_corpus`` (sibling ``__compact_tmp_`` stage with
-       ``_SUCCESS`` as the commit point, kept under each dir's newest
-       bid, crash windows completed by ``_recover_compaction``), which
+    3. state rewritten through a PAIRED staged-commit protocol
+       (sibling ``__reclose_tmp_`` stages for docs AND bands, written
+       docs-then-bands; the bands stage's ``_SUCCESS`` is the pair's
+       commit point, and ``_recover_reclose`` completes a committed
+       pair or discards a half-staged one whole — r8 review: per-dir
+       recovery could otherwise marry re-closed docs to pre-reclose
+       bands, leaving resurrected docs without band rows and every
+       later ingest silently missing near-dups against them), which
        also IS the compaction: the rewrite lands as one consolidated
        partition per state dir,
     4. tombstones consumed (default): after the rewrite the corpus
@@ -882,7 +907,10 @@ def reclose_corpus(
     partition guard accepts. After a crash mid-job, re-run it (the
     sink refuses to drain over a leftover stage; re-closure is
     idempotent — tombstones still present re-produce the same
-    decisions, already-consumed ones are out of scope by then).
+    decisions, already-consumed ones are out of scope by then, and an
+    id left in BOTH piles by a crash between the state rewrite and
+    tombstone consumption is resolved kept-wins at the next run's
+    union, r8 review).
 
     Returns {"kept", "removed_from_kept", "resurrected",
     "tombstones_consumed"}.
@@ -891,6 +919,7 @@ def reclose_corpus(
     from ..operators.dedup import neardup_pairs_from_bands
 
     docs_dir = os.path.join(corpus_dir, "docs")
+    _recover_reclose(spark, corpus_dir)
     for sub in _CORPUS_SUBS:
         _recover_compaction(spark, corpus_dir, sub)
     meta = _read_state_or_none(spark, os.path.join(corpus_dir, "meta"))
@@ -922,6 +951,19 @@ def reclose_corpus(
     bands_t = _read_sub("bands")
     dropped = _read_sub("dropped")
     dropped_bands = _read_sub("dropped_bands")
+    # An id present in BOTH piles (a crash after the state rewrite but
+    # before tombstone consumption, or consume_tombstones=False across
+    # runs after a resurrection) is the same logical doc — the KEPT row
+    # is authoritative. Without this anti-join the union would carry
+    # the id twice, the pair graph can't merge same-id rows (doc_a <
+    # doc_b), and both copies would be written back (r8 review).
+    if dropped is not None:
+        kept_ids = docs.select("doc_id")
+        dropped = dropped.join(kept_ids, "doc_id", "left_anti")
+        if dropped_bands is not None:
+            dropped_bands = dropped_bands.join(
+                kept_ids, "doc_id", "left_anti"
+            )
     docs_all = docs if dropped is None else docs.unionByName(dropped)
     bands_all = (
         bands_t
@@ -944,8 +986,11 @@ def reclose_corpus(
         survivors.select("doc_id"), "doc_id", "left_semi"
     )
 
-    # stage BOTH rewrites before any destruction (the stage reads the
-    # live dirs; _SUCCESS on each tmp is its commit point)
+    # stage BOTH rewrites before any destruction, docs THEN bands —
+    # the bands stage's _SUCCESS is the PAIR's commit point
+    # (_recover_reclose: a half-staged pair is discarded whole; a
+    # committed pair is completed whole — r8 review closed the window
+    # where per-dir recovery married re-closed docs to stale bands)
     from ..sources.compaction import dir_parquet_stats
 
     jvm = spark._jvm
@@ -962,14 +1007,14 @@ def reclose_corpus(
             for i in sub_ids
         )
         n_target = max(1, -(-total_bytes // target_file_bytes))
-        tmp = f"{dir_path.rstrip('/')}__compact_tmp_{kept_bid}"
+        tmp = f"{dir_path.rstrip('/')}__reclose_tmp_{kept_bid}"
         frame.repartition(n_target).write.mode("overwrite").parquet(tmp)
-        staged[sub] = (dir_path, sub_ids, kept_bid, tmp)
+        staged[sub] = (dir_path, kept_bid, tmp)
 
     # bookkeeping from the committed stages (cheap re-reads, no
     # recompute of the pair graph)
     n_before = docs.count()
-    kept_after = spark.read.parquet(staged["docs"][3])
+    kept_after = spark.read.parquet(staged["docs"][2])
     n_after = kept_after.count()
     n_resurrected = (
         0
@@ -979,16 +1024,11 @@ def reclose_corpus(
         ).count()
     )
 
-    # destructive windows — same shape _recover_compaction completes
+    # destructive windows, docs then bands — the shared shape
+    # _recover_reclose completes after any crash inside them
     for sub in ("docs", "bands"):
-        dir_path, sub_ids, kept_bid, tmp = staged[sub]
-        for i in sub_ids:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(dir_path, f"bid={i}"), True
-            )
-        dest = jvm.org.apache.hadoop.fs.Path(dir_path, f"bid={kept_bid}")
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest):
-            raise IOError(f"rename {tmp} -> {dest} failed")
+        dir_path, kept_bid, tmp = staged[sub]
+        _integrate_stage(spark, dir_path, kept_bid, tmp)
     if consume_tombstones:
         for sub in ("dropped", "dropped_bands"):
             dir_path = os.path.join(corpus_dir, sub)
@@ -1022,6 +1062,32 @@ def _compaction_leftovers(spark, corpus_dir: str, sub: str) -> list:
     ]
 
 
+def _integrate_stage(spark, dir_path: str, kept_bid: int, tmp) -> None:
+    """Complete a COMMITTED stage: delete every ``bid ≤ kept_bid``
+    source partition still present, then rename the stage dir to
+    ``bid=<kept_bid>``. The one destructive window shared by
+    ``compact_corpus``, ``reclose_corpus``, and both recovery routines
+    (r8 review: two hand-maintained copies of a crash-safety-critical
+    sequence drift). Restartable: a crash mid-window leaves a
+    committed stage, and re-running this function finishes it — the
+    stage dir existing at all proves the rename never ran, so
+    ``bid=<kept_bid>``, if present, is still original source data,
+    safe to delete."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(dir_path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for i in _committed_partition_ids(spark, dir_path, "bid="):
+        if i <= kept_bid:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(dir_path, f"bid={i}"), True
+            )
+    src = jvm.org.apache.hadoop.fs.Path(str(tmp))
+    dest = jvm.org.apache.hadoop.fs.Path(dir_path, f"bid={kept_bid}")
+    if not fs.rename(src, dest):
+        raise IOError(f"rename {tmp} -> {dest} failed")
+
+
 def _recover_compaction(spark, corpus_dir: str, sub: str) -> int:
     """Complete or discard leftover compaction staging dirs; returns
     the number of COMMITTED stages reintegrated.
@@ -1030,11 +1096,8 @@ def _recover_compaction(spark, corpus_dir: str, sub: str) -> int:
     before the commit point: every source partition is intact and the
     partial stage is garbage — delete it. A committed stage with
     ``kept_bid=K`` is the authoritative content of every partition
-    with ``bid ≤ K``: finish the interrupted window by deleting any
-    of those still present, then renaming the stage to ``bid=K``.
-    (The rename is what removes the stage dir, so a committed stage
-    existing at all proves the rename never ran — ``bid=K``, if
-    present, is still original source data, safe to delete.)"""
+    with ``bid ≤ K``: finish the interrupted window via
+    ``_integrate_stage``."""
     jvm = spark._jvm
     dir_path = os.path.join(corpus_dir, sub)
     fs = jvm.org.apache.hadoop.fs.Path(corpus_dir).getFileSystem(
@@ -1047,14 +1110,65 @@ def _recover_compaction(spark, corpus_dir: str, sub: str) -> int:
             fs.delete(tmp, True)
             continue
         kept = int(tmp.getName()[len(pfx):])
-        for i in _committed_partition_ids(spark, dir_path, "bid="):
-            if i <= kept:
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(dir_path, f"bid={i}"),
-                    True,
-                )
-        dest = jvm.org.apache.hadoop.fs.Path(dir_path, f"bid={kept}")
-        if not fs.rename(tmp, dest):
-            raise IOError(f"rename {tmp} -> {dest} failed")
+        _integrate_stage(spark, dir_path, kept, tmp)
         recovered += 1
     return recovered
+
+
+def _reclose_leftovers(spark, corpus_dir: str) -> dict:
+    """{sub: hadoop Path} of ``<sub>__reclose_tmp_*`` staging dirs
+    (docs/bands only — re-closure stages the pair) left by a crashed
+    ``reclose_corpus`` run."""
+    jvm = spark._jvm
+    parent = jvm.org.apache.hadoop.fs.Path(corpus_dir)
+    fs = parent.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(parent):
+        return {}
+    out = {}
+    for sub in ("docs", "bands"):
+        pfx = f"{sub}__reclose_tmp_"
+        for st in fs.listStatus(parent):
+            if st.getPath().getName().startswith(pfx):
+                out[sub] = st.getPath()
+    return out
+
+
+def _recover_reclose(spark, corpus_dir: str) -> int:
+    """Complete or discard a crashed ``reclose_corpus`` run's PAIRED
+    stages. Unlike compaction, re-closure rewrites docs AND bands as
+    one logical transaction (r8 review: per-dir recovery of a half-
+    staged pair reintegrated the re-closed docs against PRE-reclose
+    bands — resurrected docs then had no band rows and every later
+    ingest silently missed near-dups against them).
+
+    The pair's COMMIT POINT is the BANDS stage's ``_SUCCESS``: stages
+    are written docs-then-bands and integrated docs-then-bands, so
+    - bands stage committed → the docs stage was fully written before
+      it; integrate docs (if its stage is still present — absent means
+      already integrated) then bands;
+    - bands stage absent or uncommitted → the pair never committed and
+      no destructive window has started (bands integration precedes
+      nothing): every source partition is intact — discard any stages.
+    Returns 1 if a committed pair was reintegrated, else 0."""
+    stages = _reclose_leftovers(spark, corpus_dir)
+    if not stages:
+        return 0
+    jvm = spark._jvm
+    parent = jvm.org.apache.hadoop.fs.Path(corpus_dir)
+    fs = parent.getFileSystem(spark._jsc.hadoopConfiguration())
+    bands_tmp = stages.get("bands")
+    committed = bands_tmp is not None and fs.exists(
+        jvm.org.apache.hadoop.fs.Path(bands_tmp, "_SUCCESS")
+    )
+    if not committed:
+        for tmp in stages.values():
+            fs.delete(tmp, True)
+        return 0
+    for sub in ("docs", "bands"):
+        tmp = stages.get(sub)
+        if tmp is None:
+            continue  # docs already integrated before the crash
+        pfx = f"{sub}__reclose_tmp_"
+        kept = int(tmp.getName()[len(pfx):])
+        _integrate_stage(spark, os.path.join(corpus_dir, sub), kept, tmp)
+    return 1

@@ -145,6 +145,39 @@ class TestStripDupSpans:
         h = self._clean(spark, rows, k=3, use_hash=True)
         assert s == h
 
+    def test_null_text_zero_counts(self, spark):
+        """r8 review: size(split(NULL)) is -1 in Spark — without the
+        greatest() guard a NULL-text doc reported n_removed = -1 and
+        diverged from the oracle. Both operators, both engines."""
+        import duckdb
+
+        from salesforce_postgresql_etl_spark.operators.dupspans import (
+            dup_span_stats_sql,
+            strip_dup_spans_sql,
+        )
+
+        rows = [(1, "a b c d"), (2, "a b c e"), (3, None)]
+        df = _docs(spark, rows)
+        assert self._clean(spark, rows, k=3)[2] == (3, "", 0, 0)
+        assert _stats(spark, rows, k=3)[2] == (3, 0, 0, 0)
+        con = duckdb.connect()
+        con.register("docs_pd", df.toPandas())
+        con.sql("CREATE VIEW documents AS SELECT * FROM docs_pd")
+        strip = (
+            con.sql(strip_dup_spans_sql(3))
+            .df()
+            .sort_values("doc_id")
+            .values.tolist()
+        )
+        stats = (
+            con.sql(dup_span_stats_sql(3))
+            .df()
+            .sort_values("doc_id")
+            .values.tolist()
+        )
+        assert strip[2] == [3, "", 0, 0]
+        assert stats[2] == [3, 0, 0, 0]
+
 
 class TestHashPathEquality:
     def test_hash_equals_string_on_documents(self, spark):

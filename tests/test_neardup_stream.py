@@ -617,3 +617,159 @@ def test_all_duplicate_batch_writes_empty_partition(spark, tmp_path):
     stats = compact_corpus(spark, corpus_dir)
     assert stats["docs"]["compacted"]
     assert _state(spark, corpus_dir) == before
+
+
+def test_resent_tombstoned_id_not_reingested(spark, tmp_path):
+    """r8 review: the identity policy must hold against TOMBSTONED ids
+    too. A doc dropped as a near-dup and later re-sent with new
+    (dissimilar) text would otherwise be re-ingested, putting the id
+    in docs/ and dropped/ at once — and a later re-closure would drop
+    the kept row (the old text still clusters with its canonical)."""
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    shared = [f"a{i}" for i in range(20)]
+    v1 = _doc(shared + ["u1"])
+    v7 = _doc(shared + ["u7"])  # J(v1, v7) = 20/22 ≥ θ → 7 drops
+    v_new = _doc([f"z{i}" for i in range(20)])  # disjoint from all
+    sink(
+        spark.createDataFrame(
+            [(1, v1), (7, v7)], "doc_id long, text string"
+        ),
+        0,
+    )
+    assert _state(spark, corpus_dir)[0] == {1}
+    sink(
+        spark.createDataFrame([(7, v_new)], "doc_id long, text string"), 1
+    )
+    # the re-send is the same logical doc: NOT re-ingested
+    assert _state(spark, corpus_dir)[0] == {1}
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/dropped").collect()
+    } == {7}
+    # and re-closure stays sane: 7's old text clusters with 1, nothing
+    # duplicates
+    from salesforce_postgresql_etl_spark.streaming.jobs import reclose_corpus
+
+    reclose_corpus(spark, corpus_dir)
+    rows = spark.read.parquet(corpus_dir + "/docs").collect()
+    assert {(r.doc_id, r.text) for r in rows} == {(1, v1)}
+    assert len(rows) == 1
+
+
+def test_reclose_converges_with_unconsumed_tombstones(spark, tmp_path):
+    """r8 review: with consume_tombstones=False a resurrected id lives
+    in BOTH piles after the first run; the next run must resolve the
+    union kept-wins instead of writing the id twice (the doc_a < doc_b
+    pair graph cannot merge same-id rows)."""
+    from salesforce_postgresql_etl_spark.streaming.jobs import reclose_corpus
+
+    a_doc, b_doc, c_doc = _chain_docs()
+    docs = [(2, a_doc), (1, b_doc), (3, c_doc)]  # min-id middle
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    for bid, row in enumerate(docs):
+        sink(spark.createDataFrame([row], "doc_id long, text string"), bid)
+
+    stats1 = reclose_corpus(spark, corpus_dir, consume_tombstones=False)
+    assert stats1["resurrected"] == 1
+    # id 1 now sits in docs/ AND (unconsumed) dropped/
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/dropped").collect()
+    } == {1}
+    stats2 = reclose_corpus(spark, corpus_dir, consume_tombstones=False)
+    rows = spark.read.parquet(corpus_dir + "/docs").collect()
+    assert [r.doc_id for r in rows] == [1]  # exactly ONE row, kept-wins
+    assert stats2["resurrected"] == 0 and stats2["kept"] == 1
+    # band state agrees: one doc's worth of band rows
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/bands").collect()
+    } == {1}
+
+
+def _fake_reclose_stage(spark, corpus_dir, sub, drop_id):
+    """Fabricate a committed __reclose_tmp_ stage for `sub`: current
+    content minus `drop_id` (recognizable), staged under the newest
+    bid like the real job does."""
+    import os
+
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        _committed_partition_ids,
+    )
+
+    dir_path = os.path.join(corpus_dir, sub)
+    kept = _committed_partition_ids(spark, dir_path, "bid=")[-1]
+    frame = (
+        spark.read.parquet(dir_path)
+        .drop("bid")
+        .where(F.col("doc_id") != drop_id)
+    )
+    tmp = f"{dir_path.rstrip('/')}__reclose_tmp_{kept}"
+    frame.repartition(1).write.mode("overwrite").parquet(tmp)
+    return tmp
+
+
+def test_recover_reclose_discards_half_staged_pair(spark, tmp_path):
+    """Crash between the docs and bands stage writes: the pair never
+    committed, so recovery discards the docs stage and the corpus is
+    untouched — and until recovery runs, the sink refuses to drain."""
+    import pytest
+
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        _recover_reclose,
+        compact_corpus,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    docs = _clique_docs()
+    sink(spark.createDataFrame(docs, "doc_id long, text string"), 0)
+    before = _state(spark, corpus_dir)
+
+    _fake_reclose_stage(spark, corpus_dir, "docs", drop_id=100)
+    with pytest.raises(ValueError, match="re-closure"):
+        sink(
+            spark.createDataFrame(
+                [(500, _doc([f"q{i}" for i in range(20)]))],
+                "doc_id long, text string",
+            ),
+            1,
+        )
+    # compact_corpus recovers at entry (discard: pair never committed)
+    compact_corpus(spark, corpus_dir)
+    assert _state(spark, corpus_dir) == before
+    assert _recover_reclose(spark, corpus_dir) == 0  # nothing left
+
+
+def test_recover_reclose_completes_committed_pair(spark, tmp_path):
+    """Crash AFTER both stages committed but before (or inside) the
+    destructive windows: recovery completes BOTH dirs, so docs and
+    bands agree — including the half-integrated state where the docs
+    rename already happened."""
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        _integrate_stage,
+        _recover_reclose,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    docs = _clique_docs()
+    sink(spark.createDataFrame(docs, "doc_id long, text string"), 0)
+
+    # both stages committed, nothing integrated
+    _fake_reclose_stage(spark, corpus_dir, "docs", drop_id=100)
+    _fake_reclose_stage(spark, corpus_dir, "bands", drop_id=100)
+    assert _recover_reclose(spark, corpus_dir) == 1
+    kept, bands = _state(spark, corpus_dir)
+    assert 100 not in kept and all(b[0] != 100 for b in bands)
+    assert kept == {0, 10, 20, 30, 101}
+
+    # half-integrated: docs renamed away, bands stage still pending
+    docs_tmp = _fake_reclose_stage(spark, corpus_dir, "docs", drop_id=101)
+    _fake_reclose_stage(spark, corpus_dir, "bands", drop_id=101)
+    _integrate_stage(spark, str(tmp_path / "corpus" / "docs"), 0, docs_tmp)
+    assert _recover_reclose(spark, corpus_dir) == 1
+    kept, bands = _state(spark, corpus_dir)
+    assert kept == {0, 10, 20, 30} and all(b[0] != 101 for b in bands)
