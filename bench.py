@@ -108,8 +108,10 @@ BENCH_QUERIES = [
     "q_entity_match",
     "q_funnel_horizon",
     # r8: ExactSubstr-style duplicate-span stats over the hashed-key
-    # path (explode → count-by-gram → join-back → doc-keyed window).
+    # path (explode → count-by-gram → join-back → doc-keyed window),
+    # and the removal pass that rebuilds every doc's clean text.
     "q_dup_spans",
+    "q_strip_dup_spans",
 ]
 
 

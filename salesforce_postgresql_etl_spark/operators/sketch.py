@@ -150,3 +150,121 @@ def quantile_direct(
         for q in qs
     ]
     return day.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (Misra-Gries / space-saving) — the third classic
+# mergeable sketch beside the KLL quantiles and HLL distincts above:
+# heavy hitters over a column whose cardinality dwarfs memory.
+# ---------------------------------------------------------------------------
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    capacity: int,
+    k: int | None = None,
+) -> DataFrame:
+    """(item, count_lower, count_upper[, rnk]) — Misra-Gries heavy
+    hitters with BOUNDED memory per partition.
+
+    Per partition (one ``mapInPandas`` crossing, a ``capacity``-entry
+    counter dict held across the partition's Arrow batches): the
+    classic MG update — increment a tracked item, open a slot if one
+    is free, otherwise decrement ALL counters by 1 (one eviction
+    sweep; ``d_p`` counts them). Each partition emits its surviving
+    (item, cnt) rows plus one ``(None, d_p)`` error row.
+
+    Merge is a plain hash-partitioned groupBy — fully distributed, NO
+    single-partition funnel: per-item lowers sum, and the global slack
+    is ``D = Σ_p d_p`` because an item a partition did NOT track was
+    seen at most ``d_p`` times there (every untracked arrival either
+    opened a slot or triggered a decrement sweep). That gives the
+    standard merged guarantee, asserted in tests:
+
+        count_lower ≤ true_count ≤ count_lower + D   (count_upper)
+
+    With ``capacity ≥`` the per-partition distinct count no eviction
+    ever fires, ``D = 0``, and the sketch degenerates to exact counts
+    — the regime the registered query grades against a SQL oracle.
+    Under eviction the summary CONTENTS are partitioning-dependent
+    (inherent to MG; arrival order decides which counters survive) but
+    the bound above holds under ANY partitioning — the property tests
+    pin the bound, never the contents.
+
+    At 100 TB: memory is ``capacity`` counters per task regardless of
+    cardinality, the shuffle carries at most ``partitions × capacity``
+    summary rows (index-metadata scale, vs the full item-cardinality
+    shuffle of an exact groupBy), and ε-heavy-hitter queries pick
+    ``capacity = ceil(1/ε)``.
+
+    ``k``: optionally rank by (count_lower desc, item) and keep the
+    top k rows.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    from collections.abc import Iterator
+
+    from ..session import configure_runtime
+
+    configure_runtime(df.sparkSession)
+
+    def mg_partition(it: Iterator):
+        import pandas as pd
+
+        counters: dict = {}
+        d_p = 0
+        for pdf in it:
+            for v in pdf["__item"]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    d_p += 1
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        items = list(counters.keys()) + [None]
+        cnts = [counters[key] for key in counters] + [d_p]
+        yield pd.DataFrame(
+            {
+                "item": pd.Series(items, dtype="object"),
+                "cnt": pd.Series(cnts, dtype="int64"),
+            }
+        )
+
+    partials = df.select(F.col(col).cast("string").alias("__item")).mapInPandas(
+        mg_partition, "item string, cnt long"
+    )
+    # D first: the 1-row global slack (error rows have item NULL)
+    slack = partials.where(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("d_total")
+    )
+    merged = (
+        partials.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("count_lower"))
+        .crossJoin(F.broadcast(slack))  # 1 row — index metadata
+        .select(
+            "item",
+            "count_lower",
+            (F.col("count_lower") + F.col("d_total")).alias("count_upper"),
+        )
+    )
+    if k is None:
+        return merged
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("count_lower"), F.col("item"))
+    # the rank window runs over the bounded summary (≤ partitions ×
+    # capacity rows), not the data — the same budget class as the
+    # other sketches' final reductions
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

@@ -118,19 +118,19 @@ _MODULES = (
 # Kept fills: extras_q head 10 + q_repetition_filter + q_entity_match
 # (in-window insurance for the r8 ER skew-cap work, oracle unchanged).
 # r9 rotation DRAFT (execute at the start of r9, after the r8
-# CORRECTNESS run lands; registry = 146 after the late-r8 widening,
-# still ≤150 so the re-proof cycle stays 3 rounds): front the 9
+# CORRECTNESS run lands; registry = 147 after the late-r8 widening,
+# still ≤150 so the re-proof cycle stays 3 rounds): front the 10
 # queries registered past the frozen r8 window and never graded
 # (q_reclose_chain q_audio_embed q_video_embed q_dup_spans
-# q_strip_dup_spans q_neardup_embed_lsh q_neardup_minhash
-# q_simsearch_ivf q_simsearch_pq), then the 38 queries whose newest
-# green will then be r6 (extras_q/cdc_q/analytics_q/ir_q bulk +
-# windows + the mid-module four — recompute with
-# tests/coverage_ledger.py, don't trust this prose), keep flagship
-# q_agg_group in-window, and fill the remaining 2 slots with the
-# stalest r7-greens in registration order. After a green r9:
+# q_strip_dup_spans q_heavy_hitters q_neardup_embed_lsh
+# q_neardup_minhash q_simsearch_ivf q_simsearch_pq), then the 38
+# queries whose newest green will then be r6 (extras_q/cdc_q/
+# analytics_q/ir_q bulk + windows + the mid-module four — recompute
+# with tests/coverage_ledger.py, don't trust this prose), keep
+# flagship q_agg_group in-window, and fill the remaining slot with
+# the stalest r7-green in registration order. After a green r9:
 # never-green 0, max staleness ≤2 (the remaining r7-greens front in
-# r10)..
+# r10).
 _R8_FRONT = (
     # relational bulk — last green r5
     "q_filter_in",

@@ -445,3 +445,38 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (r8): the Misra-Gries heavy-hitter sketch graded in
+# its exact regime — capacity 64 ≥ the fixture's 31-token vocabulary,
+# so no eviction fires, D = 0, and count_lower == count_upper == the
+# exact count (which is precisely what the SQL oracle asserts). The
+# eviction-regime bound is property-tested in tests/
+# test_frequent_items.py; exactness-when-capacity-suffices is the
+# same grading pattern q_quantile_sketch uses for KLL rank error.
+# ---------------------------------------------------------------------------
+@register(
+    "q_heavy_hitters",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS item
+             FROM documents),
+c AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS count_lower
+      FROM tok GROUP BY item)
+SELECT item, count_lower, count_lower AS count_upper,
+       CAST(rn AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY count_lower DESC, item) AS rn
+      FROM c)
+WHERE rn <= 10
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 corpus tokens through the bounded-memory Misra-Gries
+    sketch: per-partition capacity-64 counter summaries merged by one
+    hash-partitioned groupBy (never a full-cardinality shuffle)."""
+    from ..operators.sketch import frequent_items
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    return frequent_items(toks, "tok", capacity=64, k=10)

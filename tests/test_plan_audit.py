@@ -45,6 +45,7 @@ _SP_ALLOWED = {
     "q_bm25": (1, "avgdl/N corpus scalar (1 row) broadcast back"),
     "q_gap_fill": (2, "min/max bounds (1 row) + spine explode from that row"),
     "q_unigram_logprob": (1, "corpus token-total scalar (1 row) broadcast back"),
+    "q_heavy_hitters": (1, "global rank window over the bounded MG summary (<= partitions x capacity rows), same budget class as the other sketches' final reductions"),
     "q_orc_roundtrip": (1, "single-file test write"),
     "q_pmi": (1, "bigram-total scalar (1 row) broadcast back"),
     "q_triangles": (3, "three global 1-row aggregates assembled into one row"),
@@ -74,6 +75,7 @@ _BNL_ALLOWED = {
     "q_pmi",  # 1-row bigram total joined to every scored bigram
     "q_pareto",  # 1-row revenue total joined to every ranked customer
     "q_rolling_distinct",  # deliberate band join, broadcast day spine (~30 rows)
+    "q_heavy_hitters",  # 1-row MG slack total joined to the bounded summary
 }
 
 _ROW_UDF_ALLOWED = {"q_udf_scalar"}  # X1: the slow path, demonstrated once
