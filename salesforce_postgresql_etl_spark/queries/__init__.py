@@ -117,20 +117,82 @@ _MODULES = (
 # the widened registry (137 ≤ 150, re-proof cycle still 3 rounds).
 # Kept fills: extras_q head 10 + q_repetition_filter + q_entity_match
 # (in-window insurance for the r8 ER skew-cap work, oracle unchanged).
-# r9 rotation DRAFT (execute at the start of r9, after the r8
-# CORRECTNESS run lands; registry = 147 after the late-r8 widening,
-# still ≤150 so the re-proof cycle stays 3 rounds): front the 10
-# queries registered past the frozen r8 window and never graded
-# (q_reclose_chain q_audio_embed q_video_embed q_dup_spans
-# q_strip_dup_spans q_heavy_hitters q_neardup_embed_lsh
-# q_neardup_minhash q_simsearch_ivf q_simsearch_pq), then the 38
-# queries whose newest green will then be r6 (extras_q/cdc_q/
-# analytics_q/ir_q bulk + windows + the mid-module four — recompute
-# with tests/coverage_ledger.py, don't trust this prose), keep
-# flagship q_agg_group in-window, and fill the remaining slot with
-# the stalest r7-green in registration order. After a green r9:
-# never-green 0, max staleness ≤2 (the remaining r7-greens front in
-# r10).
+# r9 rotation (VERDICT r8 #1) — EXECUTED below as _R9_FRONT; the
+# fronted sets were recomputed with tests/coverage_ledger.py at
+# rotation time (not taken from the draft prose) and matched it
+# exactly: 10 never-green late-r8 registrations + 38 queries whose
+# newest green is r6 (extras_q/cdc_q/analytics_q/ir_q bulk + windows
+# + the mid-module four) + flagship q_agg_group + 1 fill
+# (q_hash_split, the stalest r7-green in registration order) = 50.
+# After a green r9: never-green 0, max staleness ≤2 across all 147
+# (the remaining 48 r7-greens front in r10 with q_agg_group + 1 r8
+# fill — that is the whole r10 draft; recompute with the ledger).
+# Registry cap decision (VERDICT r8 #5): HOLD AT ≤150. New r9+ work
+# either displaces an existing registration or stays pytest-only;
+# arithmetic and policy recorded in COVERAGE.md's rotation section.
+_R9_FRONT = (
+    # never driver-graded (registered past the frozen r8 window)
+    "q_reclose_chain",
+    "q_audio_embed",
+    "q_video_embed",
+    "q_dup_spans",
+    "q_strip_dup_spans",
+    "q_heavy_hitters",
+    "q_neardup_embed_lsh",
+    "q_neardup_minhash",
+    "q_simsearch_ivf",
+    "q_simsearch_pq",
+    # newest green r6 — extras_q/textprep/cdc_q stale remainder
+    "q_chunk_docs",
+    "q_domain_mix",
+    "q_snapshot_diff",
+    "q_sfid18",
+    "q_incremental_agg",
+    # analytics_q — newest green r6
+    "q_funnel",
+    "q_cohort_retention",
+    "q_twa",
+    "q_attribution",
+    "q_mad_outliers",
+    "q_gap_fill",
+    "q_asof_forward",
+    "q_triangles",
+    "q_funnel_horizon",
+    "q_dedup_keep_best",
+    "q_trend",
+    "q_pareto",
+    "q_rolling_distinct",
+    # ir_q — newest green r6
+    "q_inverted_index",
+    "q_bm25",
+    "q_pii_scrub",
+    "q_unigram_logprob",
+    "q_weighted_sample",
+    "q_pmi",
+    "q_neardup_incremental",
+    # mid-module r6-greens
+    "q_stream_join",
+    "q_udtf_rle",
+    "q_join_bucketed",
+    "q_orc_roundtrip",
+    # windows — newest green r6
+    "q_win_dedup_latest",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_lag",
+    "q_win_running",
+    "q_win_range",
+    "q_win_firstlast",
+    "q_win_topk_group",
+    "q_join_asof",
+    # flagship — always in-window
+    "q_agg_group",
+    # fill: stalest r7-green in registration order
+    "q_hash_split",
+)
+# r8 rotation (VERDICT r7 #1) — executed, 50/50 green in
+# CORRECTNESS_r08 (window == this tuple exactly, judge-verified).
+# Kept for the ledger. Superseded by _R9_FRONT above.
 _R8_FRONT = (
     # relational bulk — last green r5
     "q_filter_in",
@@ -331,10 +393,10 @@ def _ensure_loaded() -> None:
 
 def registry() -> dict[str, Query]:
     _ensure_loaded()
-    unknown = [n for n in _R8_FRONT if n not in _REGISTRY]
+    unknown = [n for n in _R9_FRONT if n not in _REGISTRY]
     if unknown:  # typo guard: a misspelled front entry would silently
-        raise ValueError(f"_R8_FRONT names not registered: {unknown}")
-    front = {n: _REGISTRY[n] for n in _R8_FRONT}
+        raise ValueError(f"_R9_FRONT names not registered: {unknown}")
+    front = {n: _REGISTRY[n] for n in _R9_FRONT}
     rest = {n: q for n, q in _REGISTRY.items() if n not in front}
     return {**front, **rest}
 
