@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from ..session import persist_once
 
 # 64 hashes in 8 bands of r=8. Tuned against the fixture corpus, whose
 # pair-similarity mass is adversarially dense (median pair Jaccard 0.63,
@@ -196,7 +196,7 @@ def neardup_pairs(
     """
     tok = token_sets(docs, tokenizer=tokenizer)
     if strategy == "minhash" and persist:
-        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+        tok = persist_once(tok)
     a = tok.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
     b = tok.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
 
@@ -213,7 +213,7 @@ def neardup_pairs(
 
     band_rows = _minhash_band_rows(tok, n_hashes, bands)
     if persist:
-        band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+        band_rows = persist_once(band_rows)
 
     ca = band_rows.select(
         F.col("doc_id").alias("doc_a"), "band", "bh", F.col("sz").alias("sz_a")
@@ -310,13 +310,13 @@ def neardup_pairs_cross(
         # verify join — without persist the tokenize+hash subtrees run
         # twice per side (measured 14.5 s -> 2.6 s at sf0.1; production
         # stores the corpus band rows on disk instead)
-        tok_a = tok_a.persist(StorageLevel.MEMORY_AND_DISK)
+        tok_a = persist_once(tok_a)
         if corpus_bands is None:
             # with stored bands the corpus tokenization runs exactly
             # once (the pruned verify below) — persisting it would
             # materialize the full-corpus tokenize the stored bands
             # exist to avoid
-            tok_b = tok_b.persist(StorageLevel.MEMORY_AND_DISK)
+            tok_b = persist_once(tok_b)
     a = tok_a.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
     b = tok_b.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
 
@@ -336,9 +336,9 @@ def neardup_pairs_cross(
         F.col("doc_id").alias("doc_b"), "band", "bh", F.col("sz").alias("sz_b")
     )
     if persist:
-        ba = ba.persist(StorageLevel.MEMORY_AND_DISK)
+        ba = persist_once(ba)
         if corpus_bands is None:
-            bb = bb.persist(StorageLevel.MEMORY_AND_DISK)
+            bb = persist_once(bb)
     candidates = (
         ba.join(bb, ["band", "bh"])
         .where(_size_compatible(threshold))  # lossless — see docstring
@@ -359,7 +359,7 @@ def neardup_pairs_cross(
         # named cache residue in the caller's session — blocks are
         # freed with the DataFrame by the context cleaner.
         if persist:
-            candidates = candidates.persist(StorageLevel.MEMORY_AND_DISK)
+            candidates = persist_once(candidates)
         else:
             candidates = candidates.localCheckpoint(eager=False)
         hit_ids = candidates.select(F.col("doc_b").alias("doc_id")).distinct()

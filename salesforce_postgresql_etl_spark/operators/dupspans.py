@@ -170,19 +170,35 @@ def removal_starts(
     of each duplicated k-gram — the spans ExactSubstr removal cuts.
     "First" is the (doc_id, pos)-minimal occurrence: deterministic,
     and it keeps exactly one copy of every duplicated span corpus-wide.
+
+    Skew shape (VERDICT r8 #2 / ADVICE r8): the obvious per-key
+    ``row_number() OVER (PARTITION BY key ...)`` funnels every
+    occurrence of a hot gram (10⁷-occurrence boilerplate at design
+    scale) into ONE window task — the same single-reducer trap the
+    module header rejects for the stats path. The window was only ever
+    used to find the globally-first occurrence per key, which is a
+    partial-aggregable min: ``groupBy(key).agg(min(struct(doc_id,
+    pos)))`` lets map-side combine absorb the hot key (each task emits
+    one candidate min per key), and the occurrence count folds into
+    the SAME aggregation, so this is now one shuffle where the window
+    form needed two (count + sort-within-key). Non-first occurrences
+    are the join-back rows whose (doc_id, pos) struct != the min —
+    struct comparison is lexicographic, matching the window's
+    ORDER BY doc_id, pos exactly.
     """
     grams = _with_key(gram_rows(docs, k, text_col, id_col), use_hash)
-    dup_keys = (
+    firsts = (
         grams.groupBy("key")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        )
         .filter(F.col("n_occ") >= min_count)
-        .select("key")
+        .select("key", "first_occ")
     )
-    w = Window.partitionBy("key").orderBy("doc_id", "pos")
     return (
-        grams.join(dup_keys, "key")
-        .withColumn("occ", F.row_number().over(w))
-        .filter(F.col("occ") >= 2)
+        grams.join(firsts, "key")
+        .filter(F.struct("doc_id", "pos") != F.col("first_occ"))
         .select("doc_id", "pos")
     )
 

@@ -27,7 +27,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+from ..session import persist_once
 
 from ..functions import dec_to_double
 
@@ -286,7 +286,7 @@ def neardup_embed_pairs(
         .agg(F.sum("bv").alias("bh"))
     )
     if persist:
-        band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+        band_rows = persist_once(band_rows)
 
     ca = band_rows.select(F.col("vid").alias("vec_a"), "band", "bh")
     cb = band_rows.select(F.col("vid").alias("vec_b"), "band", "bh")

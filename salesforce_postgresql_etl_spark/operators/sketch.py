@@ -167,18 +167,31 @@ def frequent_items(
     hitters with BOUNDED memory per partition.
 
     Per partition (one ``mapInPandas`` crossing, a ``capacity``-entry
-    counter dict held across the partition's Arrow batches): the
-    classic MG update — increment a tracked item, open a slot if one
-    is free, otherwise decrement ALL counters by 1 (one eviction
-    sweep; ``d_p`` counts them). Each partition emits its surviving
-    (item, cnt) rows plus one ``(None, d_p)`` error row.
+    counter dict held across the partition's Arrow batches): each
+    Arrow batch is PRE-REDUCED with a vectorized ``value_counts``
+    (an exact, zero-error MG summary of the batch), then merged into
+    the running summary with the mergeable-summaries reduce step
+    (Agarwal et al., "Mergeable Summaries", §3): sum counters by key,
+    and if more than ``capacity`` survive, subtract the
+    (capacity+1)-th largest value δ from every counter and drop the
+    non-positive ones — at most ``capacity`` strictly-positive
+    counters remain. ``d_p`` accumulates the δs: δ is the maximum any
+    single item's counter was reduced by in that step, so after the
+    partition drains, ``true_partition_count - counter ≤ d_p`` for
+    tracked items and an UNtracked item was seen at most ``d_p``
+    times — the same invariant the classic one-at-a-time MG update
+    yields (where every eviction sweep is a δ=1 reduce). The batch
+    form exists because a per-row Python loop was the throughput
+    ceiling (VERDICT r8 #3): the Python-level work per batch is now
+    O(distinct-in-batch) dict merges plus one sort, so the loop count
+    shrinks by the batch's duplication factor. Each partition emits
+    its surviving (item, cnt) rows plus one ``(None, d_p)`` error row.
 
     Merge is a plain hash-partitioned groupBy — fully distributed, NO
     single-partition funnel: per-item lowers sum, and the global slack
-    is ``D = Σ_p d_p`` because an item a partition did NOT track was
-    seen at most ``d_p`` times there (every untracked arrival either
-    opened a slot or triggered a decrement sweep). That gives the
-    standard merged guarantee, asserted in tests:
+    is ``D = Σ_p d_p`` (an item a partition did NOT track was seen at
+    most ``d_p`` times there). That gives the standard merged
+    guarantee, asserted in tests:
 
         count_lower ≤ true_count ≤ count_lower + D   (count_upper)
 
@@ -213,22 +226,16 @@ def frequent_items(
         counters: dict = {}
         d_p = 0
         for pdf in it:
-            for v in pdf["__item"]:
-                if v is None:
-                    continue
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < capacity:
-                    counters[v] = 1
-                else:
-                    d_p += 1
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            # vectorized pre-reduction: the batch's exact counts are a
+            # zero-error MG summary — merge, then reduce to capacity
+            for v, w in pdf["__item"].value_counts(dropna=True).items():
+                counters[v] = counters.get(v, 0) + int(w)
+            if len(counters) > capacity:
+                delta = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    key: c - delta for key, c in counters.items() if c > delta
+                }
+                d_p += delta
         items = list(counters.keys()) + [None]
         cnts = [counters[key] for key in counters] + [d_p]
         yield pd.DataFrame(

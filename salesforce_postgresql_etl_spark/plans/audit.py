@@ -34,6 +34,11 @@ class PlanAudit:
     broadcasts: int  # BroadcastExchange nodes
     sorts: int  # Sort nodes
     scans: int  # FileScan nodes
+    window_parts: tuple[tuple[str, ...], ...]  # partition keys of every
+    # Window-family node (exprIds stripped, deduped) — a window keyed by
+    # an unbounded-cardinality data column with hot keys (gram, band,
+    # token) is the single-reducer trap VERDICT r8 #1 hit; the audit
+    # surfaces the keys so each keyed window needs an allowlist reason
     plan: str  # full text, for failure messages
 
 
@@ -41,6 +46,84 @@ def plan_string(df: DataFrame) -> str:
     """The physical plan as text (initial plan; AQE may still re-plan
     at runtime, but only to something with fewer/smaller shuffles)."""
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- Window partition-key extraction (VERDICT r8 #3) -----------------------
+# Physical Window-family nodes print as
+#   Window [exprs], [partitionSpec], [orderSpec]
+#   WindowGroupLimit [partitionSpec], [orderSpec], rankFn, limit, mode
+#   WindowInPandas [exprs], [partitionSpec], [orderSpec]
+# with EMPTY groups omitted: a global (unpartitioned) ordered window
+# prints only [exprs], [orderSpec]. Ordering entries always carry a
+# sort direction ("ASC|DESC NULLS ..."), partition entries never do —
+# that token disambiguates the 2-group form.
+
+_WIN_NODE = re.compile(r"\b(Window|WindowInPandas|WindowGroupLimit)\s+(\[.*)$")
+_SORT_DIR = re.compile(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)\b")
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """The top-level [...] groups of one plan line (expressions nest
+    brackets/parens arbitrarily, so this is a depth scan, not a regex)."""
+    groups: list[str] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def _split_top(s: str) -> list[str]:
+    """Split an expression list on depth-0 commas."""
+    parts: list[str] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(s):
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_ids(expr: str) -> str:
+    return re.sub(r"#\d+L?", "", expr).strip()
+
+
+def window_partitions(plan: str) -> tuple[tuple[str, ...], ...]:
+    """The deduped partition-key tuples of every Window-family node in
+    a physical plan string. () = a global window (its funnel is already
+    caught by the Exchange SinglePartition check)."""
+    seen: set[tuple[str, ...]] = set()
+    for raw in plan.splitlines():
+        m = _WIN_NODE.search(raw)
+        if not m:
+            continue
+        node, rest = m.group(1), m.group(2)
+        groups = _top_level_groups(rest)
+        if node == "WindowGroupLimit":
+            cand = groups[:2]
+        else:
+            cand = groups[1:3]  # after [exprs]
+        if len(cand) == 2:
+            part = cand[0]
+        elif len(cand) == 1:
+            # partition or order? ordering entries carry a sort direction
+            part = "" if _SORT_DIR.search(cand[0]) else cand[0]
+        else:
+            part = ""
+        keys = tuple(_strip_ids(k) for k in _split_top(part))
+        seen.add(keys)
+    return tuple(sorted(seen))
 
 
 def audit(df: DataFrame) -> PlanAudit:
@@ -58,6 +141,7 @@ def audit(df: DataFrame) -> PlanAudit:
         broadcasts=count(r"\bBroadcastExchange\b"),
         sorts=count(r"\bSort\b"),
         scans=count(r"\bFileScan\b"),
+        window_parts=window_partitions(s),
         plan=s,
     )
 

@@ -26,7 +26,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.simsearch import neardup_embed_pairs
@@ -85,9 +85,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     out = s.select("doc_id", sig.cast("bigint").alias("simhash"))
-    return out.withColumn(
-        "n_bucket", F.count(F.lit(1)).over(Window.partitionBy("simhash"))
-    )
+    # bucket size via groupBy + join-back, NOT count().over(Window.
+    # partitionBy(simhash)): a window keyed by the signature funnels a
+    # hot duplicate group (boilerplate repeated 10^7 times shares one
+    # simhash) into a single task, while the aggregate's map-side
+    # combine absorbs it and the join-back spreads the hot key like
+    # any skewed equi-join (AQE skew split applies) — the r9 window-
+    # audit class (same fix as dupspans.removal_starts).
+    counts = out.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_bucket"))
+    return out.join(counts, "simhash").select("doc_id", "simhash", "n_bucket")
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,24 @@ _CRITICAL_CONFS = ("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanos
 _SHIPPED_SESSIONS: set[str] = set()
 
 
+def persist_once(df, level=None):
+    """``df.persist(level)`` unless the CacheManager already holds this
+    (canonicalized) plan — ``df.storageLevel`` performs that lookup
+    even on a freshly-rebuilt DataFrame object. Re-persisting an
+    already-cached plan is functionally idempotent but logs
+    ``WARN CacheManager: Asked to cache already cached data`` on every
+    re-entry (the bench's warmup + best-of-3 triples re-run identical
+    entries), polluting the zero-WARN log discipline (VERDICT r8 #4).
+    """
+    from pyspark import StorageLevel
+
+    if level is None:
+        level = StorageLevel.MEMORY_AND_DISK
+    if df.storageLevel == StorageLevel.NONE:
+        return df.persist(level)
+    return df
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on Python workers (UDF paths).
 

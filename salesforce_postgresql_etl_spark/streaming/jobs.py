@@ -680,6 +680,21 @@ def neardup_stream_sink(
                     "doc_id",
                     "left_anti",
                 )
+        # ...and against the CONSUMED-ID LEDGER (r8 ADVICE):
+        # reclose_corpus retires ids from state (removed-from-kept
+        # always, consumed tombstones too) and records them in
+        # corpus_dir/consumed — without this anti-join, first-write-
+        # wins lasts only as long as the witness rows do, and a
+        # re-sent retired id would re-enter as a new document. No
+        # bid exclusion needed: re-closure is stop-the-world, so no
+        # ledger entry can originate from a batch that later replays.
+        consumed = _read_state_or_none(
+            spark, os.path.join(corpus_dir, "consumed")
+        )
+        if consumed is not None:
+            batch = batch.join(
+                consumed.select("doc_id"), "doc_id", "left_anti"
+            )
         wpairs = neardup_pairs(
             batch,
             threshold=threshold,
@@ -886,7 +901,12 @@ def reclose_corpus(
     4. tombstones consumed (default): after the rewrite the corpus
        equals batch mode over everything seen, so the witnesses have
        served their purpose and the state returns to
-       kept-docs-proportional.
+       kept-docs-proportional,
+    5. every id this run retires from state (removed-from-kept
+       always, consumed tombstones too) is appended to the compact
+       ``consumed/`` id ledger, which the sink's first-write-wins
+       anti-join consults — a re-sent retired id stays retired
+       instead of re-entering as a new document (r8 advice).
 
     Convergence scope, stated honestly: with tombstones retained since
     the last re-closure, the post-job corpus is EXACTLY the batch-mode
@@ -1024,6 +1044,30 @@ def reclose_corpus(
         ).count()
     )
 
+    # CONSUMED-ID LEDGER (r8 ADVICE): ids this re-closure retires from
+    # state — removed-from-kept always, consumed tombstones too — are
+    # appended to corpus_dir/consumed (ids only, compact) so the
+    # sink's first-write-wins anti-join keeps refusing them after
+    # their witness rows are gone. Without it a re-sent retired id
+    # would be silently re-ingested as a NEW document (new text under
+    # an old id), reopening the docs-and-dropped-at-once hazard the
+    # tombstone anti-join closed. Computed from the committed stage
+    # (no pair-graph recompute) and written AFTER the pair's commit
+    # point but BEFORE the destructive windows — so every ledgered id
+    # really is leaving state (recovery always completes a committed
+    # pair), and a crash after the append merely makes the idempotent
+    # re-run append the same ids again, which an anti-join shrugs at.
+    # With consume_tombstones=False, ids still in dropped/ stay live
+    # witnesses there, so only the KEPT pile's departures retire.
+    gone_base = (docs_all if consume_tombstones else docs).select("doc_id")
+    gone = gone_base.join(
+        kept_after.select("doc_id"), "doc_id", "left_anti"
+    )
+    if not gone.isEmpty():
+        gone.repartition(1).write.mode("append").parquet(
+            os.path.join(corpus_dir, "consumed")
+        )
+
     # destructive windows, docs then bands — the shared shape
     # _recover_reclose completes after any crash inside them
     for sub in ("docs", "bands"):
@@ -1084,6 +1128,14 @@ def _integrate_stage(spark, dir_path: str, kept_bid: int, tmp) -> None:
             )
     src = jvm.org.apache.hadoop.fs.Path(str(tmp))
     dest = jvm.org.apache.hadoop.fs.Path(dir_path, f"bid={kept_bid}")
+    # The loop above removes only COMMITTED partitions; an UNcommitted
+    # bid=<kept_bid> dir (a replay overwrite that crashed mid-write,
+    # taking its _SUCCESS with it) would survive it — and Hadoop
+    # FileSystem.rename into an existing directory silently moves the
+    # stage INSIDE it and returns true, leaving bid=K/<stage> (r8
+    # ADVICE). The stage is authoritative for every bid ≤ kept_bid, so
+    # deleting whatever sits at dest is always safe.
+    fs.delete(dest, True)
     if not fs.rename(src, dest):
         raise IOError(f"rename {tmp} -> {dest} failed")
 

@@ -657,6 +657,88 @@ def test_resent_tombstoned_id_not_reingested(spark, tmp_path):
     assert len(rows) == 1
 
 
+def test_retired_ids_stay_retired_after_reclose(spark, tmp_path):
+    """r8 ADVICE: first-write-wins must outlive the witness rows.
+    reclose_corpus retires ids from state (removed-from-kept AND
+    consumed tombstones) — a later re-send of either kind, even with
+    brand-new dissimilar text, must NOT re-ingest. The consumed/ id
+    ledger is the surviving witness."""
+    from salesforce_postgresql_etl_spark.streaming.jobs import reclose_corpus
+
+    a_doc, b_doc, c_doc = _chain_docs()
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    sink(
+        spark.createDataFrame(
+            [(1, a_doc), (2, b_doc)], "doc_id long, text string"
+        ),
+        0,
+    )
+    sink(spark.createDataFrame([(3, c_doc)], "doc_id long, text string"), 1)
+    assert _state(spark, corpus_dir)[0] == {1, 3}
+
+    reclose_corpus(spark, corpus_dir)  # consumes tombstones
+    assert _state(spark, corpus_dir)[0] == {1}
+    # the ledger holds both retirement kinds: 2 (consumed tombstone)
+    # and 3 (removed from kept)
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/consumed").collect()
+    } == {2, 3}
+    # re-send both retired ids with novel dissimilar text, plus one
+    # genuinely new id: only the new id ingests
+    sink(
+        spark.createDataFrame(
+            [
+                (2, _doc([f"p{i}" for i in range(20)])),
+                (3, _doc([f"q{i}" for i in range(20)])),
+                (9, _doc([f"r{i}" for i in range(20)])),
+            ],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    assert _state(spark, corpus_dir)[0] == {1, 9}
+
+
+def test_removed_from_kept_retired_without_consuming(spark, tmp_path):
+    """With consume_tombstones=False, ids still in dropped/ remain live
+    witnesses there (no ledger entry needed), but ids leaving the KEPT
+    pile lose their rows AND bands — only those retire to the ledger."""
+    from salesforce_postgresql_etl_spark.streaming.jobs import reclose_corpus
+
+    a_doc, b_doc, c_doc = _chain_docs()
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    sink(
+        spark.createDataFrame(
+            [(1, a_doc), (2, b_doc)], "doc_id long, text string"
+        ),
+        0,
+    )
+    sink(spark.createDataFrame([(3, c_doc)], "doc_id long, text string"), 1)
+
+    reclose_corpus(spark, corpus_dir, consume_tombstones=False)
+    assert _state(spark, corpus_dir)[0] == {1}
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/consumed").collect()
+    } == {3}  # 2 stays a live tombstone in dropped/
+    # both retirement kinds still refuse re-sends (3 via the ledger,
+    # 2 via the tombstone anti-join)
+    sink(
+        spark.createDataFrame(
+            [
+                (2, _doc([f"p{i}" for i in range(20)])),
+                (3, _doc([f"q{i}" for i in range(20)])),
+            ],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    assert _state(spark, corpus_dir)[0] == {1}
+
+
 def test_reclose_converges_with_unconsumed_tombstones(spark, tmp_path):
     """r8 review: with consume_tombstones=False a resurrected id lives
     in BOTH piles after the first run; the next run must resolve the

@@ -80,6 +80,66 @@ _BNL_ALLOWED = {
 
 _ROW_UDF_ALLOWED = {"q_udf_scalar"}  # X1: the slow path, demonstrated once
 
+# query -> {window partition-key tuple: why rows-per-key is bounded}.
+# Every Window-family node keyed by columns must be listed here (VERDICT
+# r8 #3): a window keyed by an unbounded-cardinality data column with
+# hot keys (gram, band, signature, token) funnels every row of a hot
+# key into ONE task — the dupspans.removal_starts trap, caught by hand
+# in r8 and mechanically here since. () (global windows) are excluded:
+# their funnel is the Exchange SinglePartition check above. The reason
+# must say why per-key row counts stay bounded at 100 TB — or why the
+# semantics genuinely need a per-key total order.
+_WINDOW_ALLOWED = {
+    # per-entity event history: a key's rows are one user's own
+    # activity — heavy users exist, 10^7-row users don't
+    "q_asof_forward": {("user_id",): "per-user event history"},
+    "q_attribution": {("user_id",): "per-user event history"},
+    "q_sessionize": {("user_id",): "per-user event history"},
+    "q_state_running": {("user_id",): "per-user event history"},
+    "q_twa": {("user_id",): "per-user event history"},
+    "q_win_dedup_latest": {("user_id",): "per-user event history"},
+    "q_win_firstlast": {("user_id",): "per-user event history"},
+    "q_win_lag": {("user_id",): "per-user event history"},
+    "q_win_range": {("user_id",): "per-user event history"},
+    "q_dedup_exact": {
+        ("user_id", "event_type"): "per-user-per-type event history"
+    },
+    # per-query candidate shortlists: rows per qid = the (pre-limited)
+    # candidate set of one search query, k-bounded downstream
+    "q_audio_embed": {("qid",): "per-query ANN candidate shortlist"},
+    "q_media_embed": {("qid",): "per-query ANN candidate shortlist"},
+    "q_video_embed": {("qid",): "per-query ANN candidate shortlist"},
+    "q_simsearch_ivf": {("qid",): "per-query ANN candidate shortlist"},
+    "q_simsearch_pq": {("qid",): "per-query ANN candidate shortlist"},
+    "q_simsearch_topk": {("qid",): "per-query ANN candidate shortlist"},
+    "q_join_asof": {
+        ("p_id",): "per-probe-row as-of candidate set (WindowGroupLimit "
+        "keeps only the latest match per probe)"
+    },
+    # per-document: rows per key bounded by one document's length/vocab
+    "q_dup_spans": {("doc_id",): "per-doc duplicated-span positions"},
+    "q_tfidf": {("doc_id",): "per-doc vocabulary"},
+    # per-natural-parent keys with small fan-in
+    "q_win_running": {("l_orderkey",): "<= 7 lineitems per order"},
+    "q_win_topk_group": {
+        ("o_custkey",): "orders per customer; WindowGroupLimit pushes "
+        "the top-k partially before the shuffle"
+    },
+    # dimension-valued demos: the SEMANTIC is a total order within a
+    # 5-value segment dimension — inherently n/5 rows per task; these
+    # are the W2/W3 operator demonstrations, documented in SCALE.md
+    "q_win_ntile": {("c_mktsegment",): "W3 demo: rank within a 5-value dim"},
+    "q_win_rank": {("c_mktsegment",): "W2 demo: rank within a 5-value dim"},
+    # partition-id frames: numPartitions rows per key by construction
+    "q_sort": {("pid",): "cumulative-offsets frame, numPartitions rows"},
+    "q_pack_sequences": {
+        ("__pid",): "cumulative-offsets frame, numPartitions rows"
+    },
+    "q_pareto": {
+        ("__pid",): "cumulative-offsets frame, numPartitions rows"
+    },
+}
+
 
 @pytest.fixture(scope="module")
 def audits(spark):
@@ -125,6 +185,30 @@ def test_nested_loop_joins_allowlisted(name, audits):
         f"[{name}] unexpected BroadcastNestedLoopJoin — non-equi or "
         f"cross join sneaked into a scale path:\n{a.plan}"
     )
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_window_partition_keys_allowlisted(name, audits):
+    a = audits[name]
+    allowed = _WINDOW_ALLOWED.get(name, {})
+    for keys in a.window_parts:
+        if not keys:
+            continue  # global window — the SinglePartition check's job
+        assert keys in allowed, (
+            f"[{name}] Window partitioned by {keys} has no allowlist "
+            f"reason — if the key is an unbounded-cardinality data "
+            f"column with hot keys (gram/band/signature), this is the "
+            f"single-reducer trap; prefer groupBy+join-back "
+            f"(partial-aggregable) or add a bounded-rows-per-key "
+            f"reason to _WINDOW_ALLOWED:\n{a.plan}"
+        )
+
+
+def test_window_allowlist_not_stale():
+    """Every allowlisted query still exists — a renamed/retired query
+    must take its window annotations with it."""
+    for name in _WINDOW_ALLOWED:
+        assert name in _REG, f"_WINDOW_ALLOWED entry for unknown query {name}"
 
 
 def test_every_query_scans_parquet_not_collects(audits):
