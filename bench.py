@@ -121,10 +121,10 @@ def _extra_benches():
     (they are the DuckDB-checkable oracles); at 100 TB these pruned
     forms are what runs, so the sweep times them round-over-round.
 
-    r8 note: four of these names (q_neardup_minhash, q_simsearch_ivf,
-    q_neardup_embed_lsh, q_simsearch_pq) now ALSO exist as registered
-    queries grading the same code paths on small deterministic
-    fixtures. The dict update below deliberately shadows those with
+    r8 note: five of these names (q_neardup_minhash, q_simsearch_ivf,
+    q_neardup_embed_lsh, q_simsearch_pq, and r9's q_semdedup) now ALSO
+    exist as registered queries grading the same code paths on small
+    deterministic fixtures. The dict update below deliberately shadows those with
     the sf-scale variants here — the bench times the operator at
     sf0.1, the registry grades its correctness; same strategy code
     either way."""
@@ -255,6 +255,33 @@ def _extra_benches():
         )
         return pq_topk(codes, cb, queries, k=3, rerank_with=emb, shortlist=100)
 
+    def semdedup(spark, sf_dir):
+        # r9: SemDeDup scale path — trained-cluster bucketing into the
+        # blocked pair triangle + decimal exact verify. The k=25
+        # centroid index is trained once per bench process (offline in
+        # production, same doctrine as the IVF/PQ indexes); the timed
+        # path is broadcast assignment + within-cluster pair join +
+        # verify: Σ n_b(n_b−1)/2 candidates ≈ n²/(2k) on balanced
+        # buckets vs the brute n²/2.
+        import tempfile
+
+        from salesforce_postgresql_etl_spark.operators.simsearch import (
+            kmeans_centroids,
+            semdedup_pairs,
+        )
+
+        emb = load(spark, sf_dir, "embeddings")
+        cent_path = os.path.join(
+            tempfile.gettempdir(),
+            f"bench-semdedup-centroids-{os.getpid()}.parquet",
+        )
+        if not os.path.exists(cent_path):
+            kmeans_centroids(emb, k=25, iters=2).write.mode(
+                "overwrite"
+            ).parquet(cent_path)
+        cents = spark.read.parquet(cent_path)
+        return semdedup_pairs(emb, threshold=0.9, centroids=cents)
+
     def neardup_clusters_star(spark, sf_dir):
         # r5: same pipeline through large-star/small-star contraction —
         # the variant whose round count is O(log n) instead of graph
@@ -278,6 +305,7 @@ def _extra_benches():
         "q_neardup_clusters_lsh": neardup_clusters_lsh,
         "q_neardup_clusters_star": neardup_clusters_star,
         "q_simsearch_pq": simsearch_pq,
+        "q_semdedup": semdedup,
     }
 
 

@@ -415,6 +415,81 @@ def kmeans_centroids(
     return spark.createDataFrame(cents, "label int, centroid array<double>")
 
 
+def semdedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    k: int = 8,
+    iters: int = 4,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    max_cluster_size: int | None = None,
+    on_oversize: str = "raise",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    k-means buckets the embedding space, pairwise exact cosine runs
+    ONLY within each cluster. The third near-dup strategy beside brute
+    and sign-plane LSH (``neardup_embed_pairs``), with a different
+    recall contract: LSH recall decays smoothly with the angular gap
+    per band; SemDeDup misses exactly the pairs that straddle a
+    cluster boundary (the paper's stated tradeoff) and examines
+    Σ_b n_b(n_b−1)/2 candidates — sublinear in n² whenever the
+    clustering spreads mass across buckets.
+
+    EXACT duplicates are found with probability 1 regardless of
+    clustering quality: identical vectors score identically against
+    every centroid, and ``with_kmeans_labels``' deterministic argmax
+    (max(struct(sim, −label))) assigns them the same cluster —
+    asserted in tests.
+
+    Pair generation reuses ``blocked_pairs`` with the cluster label as
+    the block key, so the ER skew discipline applies verbatim: a giant
+    cluster (one template embedding crawled 10⁷ times) trips the
+    ``max_cluster_size`` tripwire, and ``on_oversize="salt"`` splits
+    its pair triangle LOSSLESSLY across salt_buckets² reducers
+    (measured 0.20× on a manufactured hot block — SCALE.md r8).
+    Verified pairs carry the same decimal-quantized cosine as the
+    brute/LSH forms (shared ``_exact_cosine``), so every pair SemDeDup
+    reports hash-matches what brute would emit for it.
+
+    Training (``kmeans_centroids``) is the documented offline step —
+    k + iters driver round-trips over index metadata, never data-scale
+    rows; pass precomputed ``centroids`` to skip it (the production
+    shape: train once, dedup many batches).
+    """
+    from .blocking import blocked_pairs
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            emb, k=k, iters=iters, vec=vec, id_col=id_col
+        )
+    labeled = with_kmeans_labels(
+        emb.select(id_col, vec), centroids, vec=vec, label_col="__sd"
+    )
+    base = with_sq_norm(labeled, vec).select(
+        F.col(id_col).alias("vid"), F.col(vec).alias("e"), "sq_norm", "__sd"
+    )
+    pairs = blocked_pairs(
+        base,
+        "vid",
+        F.col("__sd"),
+        attrs=["e", "sq_norm"],
+        max_block_size=max_cluster_size,
+        on_oversize=on_oversize,
+        salt_buckets=salt_buckets,
+    ).select(
+        F.col("k_a").alias("vec_a"),
+        F.col("k_b").alias("vec_b"),
+        "e_a",
+        "e_b",
+        F.col("sq_norm_a").alias("n_a"),
+        F.col("sq_norm_b").alias("n_b"),
+    )
+    return _exact_cosine(pairs, threshold)
+
+
 def topk_cosine(
     emb: DataFrame,
     queries: DataFrame,

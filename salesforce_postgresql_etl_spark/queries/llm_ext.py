@@ -247,10 +247,10 @@ def q_neardup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an organic ≥0.9 pair, both sides would have to agree on it.
 LSH_DEDUP_THETA = 0.9
 
-
-@register(
-    "q_neardup_embed_lsh",
-    oracle=f"""
+# Shared by q_neardup_embed_lsh and q_semdedup: the full brute SQL
+# over the union corpus (NOT a hardcoded pin) — if the fixture ever
+# grew an organic ≥0.9 pair, both engines would have to agree on it.
+_EMBED_DEDUP_ORACLE = f"""
 WITH corpus AS (SELECT vec_id, embedding FROM embeddings
                 UNION ALL
                 SELECT vec_id + 10000, embedding FROM embeddings),
@@ -265,18 +265,48 @@ d AS (SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_NE_DOT} AS dot
 SELECT vec_a, vec_b, d.dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cosine
 FROM d JOIN n2 na ON na.vec_id = vec_a JOIN n2 nb ON nb.vec_id = vec_b
 WHERE d.dot / (sqrt(na.n2) * sqrt(nb.n2)) >= {LSH_DEDUP_THETA}
-""",
-)
+"""
+
+
+def _embed_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.unionByName(
+        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+
+
+@register("q_neardup_embed_lsh", oracle=_EMBED_DEDUP_ORACLE)
 def q_neardup_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-plane LSH embedding near-dup, driver-graded: banded
     candidates from (band, band_hash) equi-joins + exact verify find
     exactly the planted duplicate set at the dedup threshold."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = emb.unionByName(
-        emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
-    )
     return neardup_embed_pairs(
-        corpus, threshold=LSH_DEDUP_THETA, strategy="lsh"
+        _embed_dedup_corpus(spark, sf_dir),
+        threshold=LSH_DEDUP_THETA,
+        strategy="lsh",
+    )
+
+
+@register("q_semdedup", oracle=_EMBED_DEDUP_ORACLE)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (r9, registry slot 148 under the ≤150
+    cap): deterministic k-means buckets the union corpus, exact cosine
+    runs only within clusters (operators/simsearch.py semdedup_pairs —
+    cluster label as the block key through the ER blocking machinery).
+    Grades against the SAME full brute SQL as the LSH twin: identical
+    vectors land in the same cluster with probability 1 (deterministic
+    argmax), the fixture's organic pairs top out at cosine ~0.51, so
+    at θ=0.9 the within-cluster pair set equals brute exactly — and
+    the decimal-quantized cosine column hash-matches too. The
+    cluster-straddle recall caveat is pinned separately in
+    tests/test_semdedup.py, not hidden behind the fixture."""
+    from ..operators.simsearch import semdedup_pairs
+
+    return semdedup_pairs(
+        _embed_dedup_corpus(spark, sf_dir),
+        threshold=LSH_DEDUP_THETA,
+        k=8,
+        iters=4,
     )
 
 

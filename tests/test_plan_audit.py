@@ -66,6 +66,7 @@ _BNL_ALLOWED = {
     "q_video_embed",  # brute top-k over a 9-clip fixture; same scale story
     "q_simsearch_ivf",  # queries × k centroids ranking cross — broadcast index metadata, not data×data
     "q_neardup_embed_lsh",  # vectors × plane-matrix projection cross — broadcast index metadata (n_planes×dim)
+    "q_semdedup",  # vectors × k-row trained-centroid assignment cross — broadcast index metadata (k×dim)
     "q_simsearch_pq",  # queries × codebook LUT build cross — broadcast index metadata (|Q|·m·k rows)
     "q_tfidf",  # 1-row corpus-N joined to every doc
     "q_dq_report",  # 1-row × 1-row report assembly crosses
