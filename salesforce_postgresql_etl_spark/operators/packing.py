@@ -26,6 +26,62 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def grouped_prefix_sum(
+    df: DataFrame,
+    order: list[tuple[str, bool]],
+    size_col: str,
+    group_cols: tuple[str, ...] = (),
+    incl_col: str = "__incl_sum",
+) -> DataFrame:
+    """Per-group INCLUSIVE running sum of ``size_col`` over a total
+    order — the distributed two-phase prefix-sum shape shared by
+    ``pack_bins`` (empty ``group_cols``: one global sequence) and
+    ``operators/mixture.budget_select`` (per-domain sequences).
+
+    ``order`` is [(col, ascending)] and must be total within each
+    group (callers add a tiebreak). Phase 1 range-partitions on
+    (group, order) and runs the running sum per (task partition,
+    group) — local, no cross-task window. Phase 2 aggregates one
+    (partition, group) total row per pair, windows the per-group
+    offsets over ``numPartitions`` rows per group (bounded by the
+    task count, never the data), and broadcasts them back. With no
+    groups the offsets window is the allowlisted SinglePartition
+    frame over numPartitions rows (q_sort's shape).
+    """
+    sort_exprs = [F.asc(c) if asc else F.desc(c) for c, asc in order]
+    d = (
+        df.repartitionByRange(*[F.col(g) for g in group_cols], *sort_exprs)
+        .sortWithinPartitions(*[F.col(g) for g in group_cols], *sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    lw = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__incl", F.sum(F.col(size_col).cast("bigint")).over(lw))
+    psums = d.groupBy("__pid", *group_cols).agg(
+        F.sum(F.col(size_col).cast("bigint")).alias("__ps")
+    )
+    ow = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = psums.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__ps").over(ow), F.lit(0)).alias("__off"),
+    )
+    out = d.join(F.broadcast(offsets), ["__pid", *group_cols])
+    return (
+        out.withColumn(
+            incl_col, (F.col("__off") + F.col("__incl")).cast("bigint")
+        )
+        .drop("__pid", "__incl", "__off")
+    )
+
+
 def pack_bins(
     df: DataFrame,
     order_col: str,
@@ -67,28 +123,12 @@ def pack_bins(
                 "values exist, so offsets would be nondeterministic — add "
                 "tiebreak_cols to make the ordering total"
             )
-    d = (
-        df.repartitionByRange(*[F.asc(c) for c in order])
-        .sortWithinPartitions(*[F.asc(c) for c in order])
-        .withColumn("__pid", F.spark_partition_id())
+    incl = grouped_prefix_sum(
+        df, [(c, True) for c in order], size_col, incl_col="__incl_sum"
     )
-    lw = (
-        Window.partitionBy("__pid")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    d = d.withColumn("__incl", F.sum(F.col(size_col).cast("bigint")).over(lw))
-    psums = d.groupBy("__pid").agg(
-        F.sum(F.col(size_col).cast("bigint")).alias("__ps")
-    )
-    ow = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = psums.select(
-        "__pid", F.coalesce(F.sum("__ps").over(ow), F.lit(0)).alias("__off")
-    )
-    out = d.join(F.broadcast(offsets), "__pid")
-    offset = (F.col("__off") + F.col("__incl") - F.col(size_col)).cast("bigint")
+    offset = (F.col("__incl_sum") - F.col(size_col)).cast("bigint")
     return (
-        out.withColumn(offset_col, offset)
+        incl.withColumn(offset_col, offset)
         .withColumn(bin_col, F.expr(f"{offset_col} div {budget}").cast("bigint"))
-        .drop("__pid", "__incl", "__off")
+        .drop("__incl_sum")
     )

@@ -17,6 +17,8 @@ from . import register
 
 PACK_BUDGET = 512  # tokens per packed sequence
 DECONTAM_K = 2  # distinct shared trigrams that flag contamination
+DOMAIN_TOKEN_BUDGET = 600  # tokens kept per source domain (~45% cut
+# at sf0.01: each of the 20 domains carries ~1300 tokens)
 
 
 @register(
@@ -47,6 +49,76 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins(
         toks, "doc_id", "n_tok", PACK_BUDGET, offset_col="tok_offset"
     ).select("doc_id", "n_tok", "tok_offset", "bin")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture selection (r9, registry slot 149 under the ≤150
+# cap): per domain, keep the top-quality document prefix whose
+# cumulative token count fits the domain budget. The quality score is
+# q_quality_score's exact expression (fixed double op sequence → both
+# engines rank identically); it stays INTERNAL to the ordering — the
+# output carries only integer columns, so no float ever reaches the
+# hash compare. The oracle's window form is the semantics; the Spark
+# side rides the distributed grouped prefix-sum (operators/mixture.py
+# — no per-domain single-task window; see its docstring).
+# ---------------------------------------------------------------------------
+@register(
+    "q_token_budget",
+    oracle=f"""
+WITH m AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+                  CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+           FROM documents),
+q AS (SELECT doc_id, source, n_tok,
+             0.5 * (CAST(n_uniq AS DOUBLE) / n_tok)
+             + 0.3 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+             + 0.2 * (1.0 - CAST(n_stop AS DOUBLE) / n_tok) AS quality
+      FROM m),
+sel AS (SELECT doc_id, source, n_tok,
+               CAST(SUM(n_tok) OVER (PARTITION BY source
+                                     ORDER BY quality DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM q)
+SELECT doc_id, source, n_tok, cum_tokens,
+       CAST(cum_tokens <= {DOMAIN_TOKEN_BUDGET} AS INT) AS selected
+FROM sel
+""",
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token-budget selection: every doc gets its domain's
+    quality-ranked inclusive cumulative token count and a selected
+    flag — the maximal top-quality prefix fitting the budget."""
+    from ..operators.mixture import budget_select
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    quality = (
+        F.lit(0.5) * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+        + F.lit(0.3)
+        * F.least(F.col("n_tok").cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.2)
+        * (F.lit(1.0) - F.col("n_stop").cast("double") / F.col("n_tok"))
+    )
+    scored = m.withColumn("quality", quality)
+    return budget_select(
+        scored,
+        group_col="source",
+        score_col="quality",
+        size_col="n_tok",
+        budget=DOMAIN_TOKEN_BUDGET,
+        id_col="doc_id",
+    ).select("doc_id", "source", "n_tok", "cum_tokens", "selected")
 
 
 # ---------------------------------------------------------------------------

@@ -136,6 +136,12 @@ _WINDOW_ALLOWED = {
     "q_pack_sequences": {
         ("__pid",): "cumulative-offsets frame, numPartitions rows"
     },
+    "q_token_budget": {
+        ("__pid", "source"): "task-local running sum (grouped_prefix_sum "
+        "phase 1 — rows per key bounded by the task partition)",
+        ("source",): "per-domain offsets frame over numPartitions rows "
+        "per domain (grouped_prefix_sum phase 2)",
+    },
     "q_pareto": {
         ("__pid",): "cumulative-offsets frame, numPartitions rows"
     },
