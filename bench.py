@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     # and the removal pass that rebuilds every doc's clean text.
     "q_dup_spans",
     "q_strip_dup_spans",
+    # r9: per-domain token-budget selection (grouped distributed
+    # prefix sum — tracks the two-phase shape's cost at scale).
+    "q_token_budget",
 ]
 
 

@@ -124,12 +124,16 @@ _MODULES = (
 # newest green is r6 (extras_q/cdc_q/analytics_q/ir_q bulk + windows
 # + the mid-module four) + flagship q_agg_group + 1 fill
 # (q_hash_split, the stalest r7-green in registration order) = 50.
-# After a green r9: never-green 0, max staleness ≤2 across all 147
-# (the remaining 48 r7-greens front in r10 with q_agg_group + 1 r8
-# fill — that is the whole r10 draft; recompute with the ledger).
-# Registry cap decision (VERDICT r8 #5): HOLD AT ≤150. New r9+ work
-# either displaces an existing registration or stays pytest-only;
-# arithmetic and policy recorded in COVERAGE.md's rotation section.
+# After a green r9: never-green = the 2 late-r9 registrations
+# (q_semdedup, q_token_budget), max staleness ≤2 across the 147
+# pre-r9 names. Registry cap decision (VERDICT r8 #5): hold at 149
+# (≤150); exact arithmetic in COVERAGE.md — the true ≤2-staleness
+# capacity is 148 (3×50 minus the flagship's three slots), so ONE
+# rotating query sits at staleness 3 in steady state, accepted and
+# declared. r10 draft: front q_semdedup + q_token_budget, then 47 of
+# the 48 r7-greens in registration order (recompute with
+# tests/coverage_ledger.py), keep flagship q_agg_group in-window =
+# 50; the 1 deferred r7-green fronts FIRST in r11.
 _R9_FRONT = (
     # never driver-graded (registered past the frozen r8 window)
     "q_reclose_chain",

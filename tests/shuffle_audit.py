@@ -59,6 +59,10 @@ AUDIT = [
     # r8: duplicate-span detection — the hashed-key shuffle claim
     "q_dup_spans",
     "q_strip_dup_spans",
+    # r9: SemDeDup (bucketed pair triangle) and the grouped-prefix-sum
+    # token-budget selection — both shuffle claims measured, not argued
+    "q_semdedup",
+    "q_token_budget",
 ]
 
 
@@ -87,6 +91,7 @@ def main() -> None:
         "q_neardup_embed_lsh",
         "q_neardup_clusters_lsh",
         "q_simsearch_ivf",
+        "q_semdedup",
     ):
         qs[extra] = extras[extra]
     out = {}
