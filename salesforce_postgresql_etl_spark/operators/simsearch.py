@@ -344,6 +344,7 @@ def kmeans_centroids(
     iters: int = 8,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    init: str = "farthest",
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over an embedding column.
 
@@ -359,7 +360,12 @@ def kmeans_centroids(
       clusters (coupon-collector: ~0.04% for k=10), and Lloyd's cannot
       split a collapsed pair; farthest-first provably picks one seed
       per cluster when clusters are separated. k driver round-trips of
-      one row each, O(k·n·dim) total — standard offline-training init;
+      one row each, O(k·n·dim) total — standard offline-training init.
+      ``init="md5"`` (the pq_train option, r9): seed with the k
+      lowest-md5(id) vectors in ONE job — O(n) instead of O(k·n·dim),
+      for large-k builds where seed quality is amortized away by the
+      Lloyd iterations or irrelevant to what's being measured
+      (scale-curve timings, ADC probes). Equally deterministic;
     - assignment: per-row double fold (sequential, fixed order) with
       label-ascending tie-breaks;
     - update: mean_q40 per (cluster, dimension) — order-independent
@@ -373,34 +379,43 @@ def kmeans_centroids(
     cross-score + one partial+final aggregate over the corpus —
     O(n·k·dim) work, the canonical offline-training cost.
     """
+    if init not in ("farthest", "md5"):
+        raise ValueError(f"unknown init: {init!r}")
     spark = emb.sparkSession
     base = emb.select(
         F.col(id_col).cast("string").alias("sid"),
         F.col(vec).cast("array<double>").alias("v"),
     )
-    first = (
-        base.withColumn("h", F.md5("sid")).orderBy("h", "sid").limit(1).collect()[0]
-    )
-    chosen = [[float(x) for x in first.v]]
-    for _ in range(k - 1):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(chosen)], "label int, centroid array<double>"
-        ).select(
-            "centroid",
-            F.sqrt(_dot_dbl(F.col("centroid"), F.col("centroid"))).alias("cn"),
+    if init == "md5":
+        seeds = (
+            base.withColumn("h", F.md5("sid")).orderBy("h", "sid").limit(k).collect()
         )
-        sim = _dot_dbl(F.col("v"), F.col("centroid")) / (
-            F.sqrt(_dot_dbl(F.col("v"), F.col("v"))) * F.col("cn")
+        chosen = [[float(x) for x in r.v] for r in seeds]
+    else:
+        first = (
+            base.withColumn("h", F.md5("sid")).orderBy("h", "sid").limit(1).collect()[0]
         )
-        far = (
-            base.crossJoin(F.broadcast(cdf))
-            .groupBy("sid", "v")
-            .agg(F.max(sim).alias("best"))
-            .orderBy(F.col("best").asc(), F.col("sid").asc())
-            .limit(1)
-            .collect()[0]
-        )
-        chosen.append([float(x) for x in far.v])
+        chosen = [[float(x) for x in first.v]]
+        for _ in range(k - 1):
+            cdf = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(chosen)],
+                "label int, centroid array<double>",
+            ).select(
+                "centroid",
+                F.sqrt(_dot_dbl(F.col("centroid"), F.col("centroid"))).alias("cn"),
+            )
+            sim = _dot_dbl(F.col("v"), F.col("centroid")) / (
+                F.sqrt(_dot_dbl(F.col("v"), F.col("v"))) * F.col("cn")
+            )
+            far = (
+                base.crossJoin(F.broadcast(cdf))
+                .groupBy("sid", "v")
+                .agg(F.max(sim).alias("best"))
+                .orderBy(F.col("best").asc(), F.col("sid").asc())
+                .limit(1)
+                .collect()[0]
+            )
+            chosen.append([float(x) for x in far.v])
     cents = list(enumerate(chosen))
     for _ in range(iters):
         cdf = spark.createDataFrame(cents, "label int, centroid array<double>")

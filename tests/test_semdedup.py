@@ -142,6 +142,18 @@ def test_oversize_tripwire_fires(spark):
         ).collect()
 
 
+def test_kmeans_md5_init_deterministic(spark):
+    """init='md5' (the O(n) large-k seeding): bit-identical centroids
+    under any partitioning, k rows out, unknown init rejected."""
+    corpus = _union_corpus(spark)
+    c1 = kmeans_centroids(corpus, k=5, iters=2, init="md5")
+    c2 = kmeans_centroids(corpus.repartition(7), k=5, iters=2, init="md5")
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+    assert c1.count() == 5
+    with pytest.raises(ValueError, match="init"):
+        kmeans_centroids(corpus, k=2, init="random")
+
+
 def test_partitioning_invariance(spark):
     """Training, assignment, and verify are all documented
     order-independent — the full output must be bit-identical under
