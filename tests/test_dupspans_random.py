@@ -1,0 +1,67 @@
+"""Randomized Spark-vs-DuckDB differential for duplicate-span removal.
+
+The hand-built dupspans cases pin chosen shapes; this sweep draws
+seeded random corpora from a 5-token alphabet (so k-gram collisions,
+self-overlapping repeats, and cross-doc boilerplate occur naturally at
+densities nobody hand-picked, plus NULL and empty texts) and asserts
+``strip_dup_spans`` — BOTH key paths — equals the DuckDB twin SQL
+byte-for-byte on every clean_text. Seeded ``random.Random``;
+failures print the seed.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from salesforce_postgresql_etl_spark.operators.dupspans import (
+    strip_dup_spans,
+    strip_dup_spans_sql,
+)
+
+K = 3
+ALPHABET = ["a", "b", "c", "d", "e"]
+
+
+def _random_corpus(rng: random.Random):
+    rows = []
+    for doc_id in range(30):
+        roll = rng.random()
+        if roll < 0.05:
+            rows.append((doc_id, None))
+        elif roll < 0.10:
+            rows.append((doc_id, ""))
+        else:
+            n = rng.randint(1, 12)
+            rows.append(
+                (doc_id, " ".join(rng.choice(ALPHABET) for _ in range(n)))
+            )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 19, 83])
+def test_strip_matches_duckdb_on_random_corpora(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    rows = _random_corpus(rng)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq = str(tmp_path / f"docs{seed}.parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    expect = sorted(
+        tuple(r) for r in con.sql(strip_dup_spans_sql(K)).fetchall()
+    )
+    for use_hash in (False, True):
+        got = sorted(
+            tuple(r)
+            for r in strip_dup_spans(df, K, use_hash=use_hash).collect()
+        )
+        assert got == expect, (
+            f"seed {seed} use_hash={use_hash}: Spark != DuckDB over "
+            f"{len(rows)} random docs"
+        )
