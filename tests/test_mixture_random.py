@@ -1,0 +1,71 @@
+"""Randomized Spark-vs-DuckDB differential for budget_select — i.e.
+for grouped_prefix_sum, the r9 core machinery under it. Random
+(domain, quality, size) tables with score ties and size spreads;
+the distributed two-phase prefix sum must equal DuckDB's per-domain
+window byte-for-byte, at several partition counts."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from salesforce_postgresql_etl_spark.operators.mixture import budget_select
+
+BUDGET = 500
+
+_SQL = f"""
+WITH sel AS (SELECT doc_id, dom, n_tok,
+                    CAST(SUM(n_tok) OVER (PARTITION BY dom
+                                          ORDER BY q DESC, doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+                        AS cum_tokens
+             FROM t)
+SELECT doc_id, dom, n_tok, cum_tokens,
+       CAST(cum_tokens <= {BUDGET} AS INT) AS selected
+FROM sel
+"""
+
+
+def _random_table(rng: random.Random):
+    rows = []
+    for doc_id in range(rng.randint(40, 80)):
+        rows.append(
+            (
+                doc_id,
+                f"d{rng.randint(0, 4)}",
+                # coarse quality grid -> frequent exact ties, so the
+                # id tiebreak is genuinely load-bearing
+                rng.randint(0, 9) / 10.0,
+                rng.randint(1, 200),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [5, 31, 77])
+def test_budget_select_matches_duckdb(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    rows = _random_table(rng)
+    df = spark.createDataFrame(rows, "doc_id long, dom string, q double, n_tok long")
+    pq = str(tmp_path / f"t{seed}.parquet")
+    df.coalesce(1).write.parquet(pq)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    expect = sorted(tuple(r) for r in con.sql(_SQL).fetchall())
+    for parts in (1, 3, 16):
+        got = sorted(
+            tuple(r)
+            for r in budget_select(
+                df.repartition(parts), "dom", "q", "n_tok", BUDGET, "doc_id"
+            )
+            .select("doc_id", "dom", "n_tok", "cum_tokens", "selected")
+            .collect()
+        )
+        assert got == expect, (
+            f"seed {seed} parts={parts}: grouped prefix sum != DuckDB "
+            f"window over {len(rows)} rows"
+        )
