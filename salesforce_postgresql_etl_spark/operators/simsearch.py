@@ -433,7 +433,7 @@ def kmeans_centroids(
 def semdedup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
-    k: int = 8,
+    k: int | None = None,
     iters: int = 4,
     vec: str = "embedding",
     id_col: str = "vec_id",
@@ -473,10 +473,28 @@ def semdedup_pairs(
     k + iters driver round-trips over index metadata, never data-scale
     rows; pass precomputed ``centroids`` to skip it (the production
     shape: train once, dedup many batches).
+
+    ``k=None`` (the default) derives k from the corpus: ``max(8,
+    isqrt(n))`` — the paper's k ≈ √n-or-larger regime. The r9 scale
+    curve (SCALE.md, tests/semdedup_scale_curve.py) measured what the
+    geometry predicts: at FIXED k the within-bucket candidate volume
+    Σ n_b(n_b−1)/2 grows superlinearly (2× data cost 2.33×, 4× cost
+    3.81×), while k ∝ n holds bucket sizes and restores near-linear
+    (1.77×/2.28×) — so a fixed default is exactly the mistake the
+    ``max_cluster_size`` tripwire refuses loudly, and the operator no
+    longer ships one. Pass an explicit ``k`` for reproducibility (the
+    registered ``q_semdedup`` pins k=8 against a frozen oracle). The
+    extra ``emb.count()`` is one cheap job against a frame the
+    training step is about to scan k·iters times anyway.
     """
+    import math
+
     from .blocking import blocked_pairs
 
     if centroids is None:
+        if k is None:
+            n = emb.count()
+            k = max(8, math.isqrt(max(int(n), 1)))
         centroids = kmeans_centroids(
             emb, k=k, iters=iters, vec=vec, id_col=id_col
         )

@@ -80,15 +80,31 @@ def _top_level_groups(s: str) -> list[str]:
 
 
 def _split_top(s: str) -> list[str]:
-    """Split an expression list on depth-0 commas."""
+    """Split an expression list on depth-0 commas.
+
+    ``<``/``>`` count as nesting ONLY in type annotations
+    (``ident<...>``, e.g. ``array<int>``, ``map<string,int>``): a
+    ``<`` that directly follows an identifier character opens an angle
+    group; comparison operators are space-separated in plan strings
+    (``(a#1 < b#2)``, ``<=``, ``<=>``) so their ``<`` never follows an
+    identifier char, and a ``>`` with no open angle group is ignored.
+    (r9 ADVICE: counting bare comparison ``<``/``>`` inflated depth
+    permanently — e.g. a ``CASE WHEN (a < b)`` partition key merged
+    every subsequent key into one tuple, misreporting the audit.)
+    """
     parts: list[str] = []
-    depth, start = 0, 0
+    depth = angle = 0
+    start = 0
     for i, ch in enumerate(s):
-        if ch in "([<":
+        if ch in "([":
             depth += 1
-        elif ch in ")]>":
+        elif ch in ")]":
             depth -= 1
-        elif ch == "," and depth == 0:
+        elif ch == "<" and i > 0 and (s[i - 1].isalnum() or s[i - 1] == "_"):
+            angle += 1
+        elif ch == ">" and angle > 0:
+            angle -= 1
+        elif ch == "," and depth == 0 and angle == 0:
             parts.append(s[start:i])
             start = i + 1
     parts.append(s[start:])

@@ -134,6 +134,79 @@ _MODULES = (
 # the 48 r7-greens in registration order (recompute with
 # tests/coverage_ledger.py), keep flagship q_agg_group in-window =
 # 50; the 1 deferred r7-green fronts FIRST in r11.
+# r10 rotation (VERDICT r9 #1) — EXECUTED below as _R10_FRONT; the
+# fronted sets were recomputed with tests/coverage_ledger.py at
+# rotation time, not taken from the draft prose, and matched it
+# exactly: the 2 never-green late-r9 registrations (q_semdedup,
+# q_token_budget) first, then 47 of the 48 r7-greens in registration
+# order (the ledger's per-query list filtered to latest==r7), then
+# flagship q_agg_group = 50. The deferred 48th r7-green is
+# q_incremental_extract (LAST of the 48 in registration order) — it
+# is the registry-cap policy's single declared staleness-3 query and
+# fronts FIRST in r11 (r11 draft: q_incremental_extract + the 49
+# r8-greens minus flagship slots, recompute with the ledger). After
+# a green r10: never-green = 0 for the first time since r7, max
+# staleness 3 on exactly one query (q_incremental_extract), ≤2 on
+# the other 148.
+_R10_FRONT = (
+    # never driver-graded (registered past the frozen r9 window)
+    "q_semdedup",
+    "q_token_budget",
+    # 47 of the 48 r7-greens, registration order (ledger-computed);
+    # q_incremental_extract deferred to front FIRST in r11
+    "q_stratified_sample",
+    "q_pack_sequences",
+    "q_decontaminate",
+    "q_project",
+    "q_filter_pred",
+    "q_join_inner",
+    "q_dedup_simhash",
+    "q_neardup_ngram",
+    "q_neardup_ngram_lsh",
+    "q_neardup_embed",
+    "q_lang_id",
+    "q_quality_score",
+    "q_multimodal_features",
+    "q_fingerprint",
+    "q_dedup_hash",
+    "q_neardup_jaccard",
+    "q_simsearch_topk",
+    "q_text_stats",
+    "q_token_count",
+    "q_ngrams",
+    "q_tfidf",
+    "q_embed_centroid",
+    "q_str_funcs",
+    "q_str_regex",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
+    "q_casts",
+    "q_json_extract",
+    "q_array_funcs",
+    "q_array_lambda",
+    "q_map_funcs",
+    "q_hash",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_state_running",
+    "q_udf_scalar",
+    "q_pandas_udf",
+    "q_pandas_agg",
+    "q_applyinpandas_normalize",
+    "q_explode",
+    "q_scan_project",
+    "q_csv_roundtrip",
+    "q_json_roundtrip",
+    "q_parquet_roundtrip",
+    # flagship — always in-window
+    "q_agg_group",
+)
+# r9 rotation (VERDICT r8 #1) — executed, 50/50 green in
+# CORRECTNESS_r09 (window == this tuple exactly, judge-verified).
+# Kept for the ledger. Superseded by _R10_FRONT above.
 _R9_FRONT = (
     # never driver-graded (registered past the frozen r8 window)
     "q_reclose_chain",
@@ -397,10 +470,10 @@ def _ensure_loaded() -> None:
 
 def registry() -> dict[str, Query]:
     _ensure_loaded()
-    unknown = [n for n in _R9_FRONT if n not in _REGISTRY]
+    unknown = [n for n in _R10_FRONT if n not in _REGISTRY]
     if unknown:  # typo guard: a misspelled front entry would silently
-        raise ValueError(f"_R9_FRONT names not registered: {unknown}")
-    front = {n: _REGISTRY[n] for n in _R9_FRONT}
+        raise ValueError(f"_R10_FRONT names not registered: {unknown}")
+    front = {n: _REGISTRY[n] for n in _R10_FRONT}
     rest = {n: q for n, q in _REGISTRY.items() if n not in front}
     return {**front, **rest}
 

@@ -1017,8 +1017,7 @@ def reclose_corpus(
     fs = jvm.org.apache.hadoop.fs.Path(corpus_dir).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
-    staged = {}
-    for sub, frame in (("docs", survivors), ("bands", surv_bands)):
+    def _stage(sub: str, frame):
         dir_path = os.path.join(corpus_dir, sub)
         sub_ids = _committed_partition_ids(spark, dir_path, "bid=")
         kept_bid = sub_ids[-1]
@@ -1029,10 +1028,12 @@ def reclose_corpus(
         n_target = max(1, -(-total_bytes // target_file_bytes))
         tmp = f"{dir_path.rstrip('/')}__reclose_tmp_{kept_bid}"
         frame.repartition(n_target).write.mode("overwrite").parquet(tmp)
-        staged[sub] = (dir_path, kept_bid, tmp)
+        return (dir_path, kept_bid, tmp)
 
-    # bookkeeping from the committed stages (cheap re-reads, no
-    # recompute of the pair graph)
+    staged = {"docs": _stage("docs", survivors)}
+
+    # bookkeeping from the staged docs (cheap re-reads, no recompute
+    # of the pair graph)
     n_before = docs.count()
     kept_after = spark.read.parquet(staged["docs"][2])
     n_after = kept_after.count()
@@ -1051,13 +1052,20 @@ def reclose_corpus(
     # their witness rows are gone. Without it a re-sent retired id
     # would be silently re-ingested as a NEW document (new text under
     # an old id), reopening the docs-and-dropped-at-once hazard the
-    # tombstone anti-join closed. Computed from the committed stage
-    # (no pair-graph recompute) and written AFTER the pair's commit
-    # point but BEFORE the destructive windows — so every ledgered id
-    # really is leaving state (recovery always completes a committed
-    # pair), and a crash after the append merely makes the idempotent
-    # re-run append the same ids again, which an anti-join shrugs at.
-    # With consume_tombstones=False, ids still in dropped/ stay live
+    # tombstone anti-join closed. Computed from the staged docs (no
+    # pair-graph recompute) and appended BEFORE the bands stage — the
+    # pair's commit point — lands (r9 ADVICE): _recover_reclose
+    # completes a committed pair WITHOUT appending the ledger, so an
+    # append placed after the commit point left a crash window
+    # (commit done, append not) in which recovery would integrate the
+    # rewrite and the retired ids would never reach consumed/. A
+    # PRE-commit append's failure modes are both benign: crash before
+    # the bands commit → recovery discards the pair, the ids stay in
+    # kept/ (or dropped/), and the sink's kept/tombstone anti-joins
+    # mask the false-positive ledger rows; crash after the append on
+    # a later re-run → the idempotent re-run appends the same ids
+    # again, which an anti-join shrugs at. With
+    # consume_tombstones=False, ids still in dropped/ stay live
     # witnesses there, so only the KEPT pile's departures retire.
     gone_base = (docs_all if consume_tombstones else docs).select("doc_id")
     gone = gone_base.join(
@@ -1067,6 +1075,11 @@ def reclose_corpus(
         gone.repartition(1).write.mode("append").parquet(
             os.path.join(corpus_dir, "consumed")
         )
+
+    # bands stage LAST — its _SUCCESS is the pair's commit point, and
+    # everything the committed pair implies (including the ledger
+    # append above) must already be on disk when it lands
+    staged["bands"] = _stage("bands", surv_bands)
 
     # destructive windows, docs then bands — the shared shape
     # _recover_reclose completes after any crash inside them

