@@ -625,6 +625,16 @@ def neardup_stream_sink(
                 "reclose_corpus (or compact_corpus) to recover "
                 "before draining."
             )
+        if _consumed_leftover(spark, corpus_dir) is not None:
+            # the most dangerous leftover of the three: inside the
+            # ledger swap window consumed/ itself may be GONE, and a
+            # drain would see "no ledger" and re-ingest retired ids
+            raise ValueError(
+                f"corpus at {corpus_dir} has a leftover consumed-"
+                "ledger staging dir (a compact_corpus run crashed "
+                "mid-swap, so the retired-id ledger may be missing): "
+                "run compact_corpus to recover before draining."
+            )
         # first-write-wins WITHIN the batch too (r8 advice): duplicate
         # doc_ids in one micro-batch would otherwise have their token
         # sets merged into a single signature by _minhash_band_rows'
@@ -816,6 +826,22 @@ def compact_corpus(
     like every plain-parquet maintenance job it owns the table while
     it runs: call it BETWEEN drains, never concurrently with one.
 
+    The retired-id ledger (``corpus_dir/consumed``, one small appended
+    file per ``reclose_corpus`` run) is compacted here too — it is not
+    a ``bid=`` dir, so it takes its own staged swap: the distinct ids
+    are fully staged beside the dir (``consumed__compact_tmp``, its
+    ``_SUCCESS`` the commit point), then the live dir is deleted and
+    the stage renamed in. Distinct is semantically free — the only
+    reader is an anti-join, and the only legitimate duplicates are an
+    idempotent re-closure re-run's re-appends. A crash inside the swap
+    window leaves a moment where ``consumed/`` does not exist at all,
+    which a draining sink would read as "no ledger" and re-ingest
+    retired ids — so ``neardup_stream_sink`` refuses to drain over the
+    leftover stage, ``reclose_corpus`` recovers it at entry (its
+    append must land in the POST-swap dir, never in a doomed
+    pre-swap one), and ``_recover_consumed_compaction`` completes or
+    discards it here.
+
     Returns per-dir before/after file counts.
     """
     from ..sources.compaction import dir_parquet_stats
@@ -858,7 +884,95 @@ def compact_corpus(
             "kept_bid": sealed[-1],
             "recovered": recovered,
         }
+    stats["consumed"] = _compact_consumed_ledger(
+        spark, corpus_dir, target_file_bytes
+    )
     return stats
+
+
+def _compact_consumed_ledger(
+    spark, corpus_dir: str, target_file_bytes: int
+) -> dict:
+    """Fold the append-only retired-id ledger into one compacted
+    parquet write (r9 residue (a)): distinct ids staged whole beside
+    the dir, swapped in delete-then-rename. See ``compact_corpus``'s
+    docstring for the crash-window contract."""
+    from ..sources.compaction import dir_parquet_stats
+
+    consumed_dir = os.path.join(corpus_dir, "consumed")
+    recovered = _recover_consumed_compaction(spark, corpus_dir)
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(corpus_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(consumed_dir)):
+        return {"compacted": False, "files": 0, "recovered": recovered}
+    n_before, total_bytes = dir_parquet_stats(consumed_dir)
+    if n_before < 2:
+        return {
+            "compacted": False,
+            "files": n_before,
+            "recovered": recovered,
+        }
+    n_target = max(1, -(-total_bytes // target_file_bytes))
+    ids = (
+        spark.read.parquet(consumed_dir)
+        .select("doc_id")
+        .distinct()
+        .repartition(n_target)
+    )
+    tmp = f"{consumed_dir.rstrip('/')}__compact_tmp"
+    ids.write.mode("overwrite").parquet(tmp)
+    # ---- commit point: tmp has _SUCCESS ----
+    fs.delete(jvm.org.apache.hadoop.fs.Path(consumed_dir), True)
+    if not fs.rename(
+        jvm.org.apache.hadoop.fs.Path(tmp),
+        jvm.org.apache.hadoop.fs.Path(consumed_dir),
+    ):
+        raise IOError(f"rename {tmp} -> {consumed_dir} failed")
+    return {
+        "compacted": True,
+        "files_before": n_before,
+        "files_after": n_target,
+        "recovered": recovered,
+    }
+
+
+def _consumed_leftover(spark, corpus_dir: str):
+    """Hadoop Path of a ``consumed__compact_tmp`` staging dir left by
+    a crashed ledger compaction, or None."""
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        corpus_dir, "consumed__compact_tmp"
+    )
+    fs = tmp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return tmp if fs.exists(tmp) else None
+
+
+def _recover_consumed_compaction(spark, corpus_dir: str) -> int:
+    """Complete or discard a crashed consumed-ledger compaction.
+
+    Uncommitted stage (no ``_SUCCESS``) → the live dir is intact and
+    the partial stage is garbage: delete it. Committed stage → it is
+    the authoritative ledger (a superset-by-distinct of whatever still
+    sits at ``consumed/``): finish the swap — delete the live dir if
+    any of it survived, rename the stage in. MUST run before anything
+    APPENDS to the ledger (``reclose_corpus`` entry): an append into a
+    doomed pre-swap dir would be deleted with it. Returns 1 if a
+    committed stage was swapped in, else 0."""
+    tmp = _consumed_leftover(spark, corpus_dir)
+    if tmp is None:
+        return 0
+    jvm = spark._jvm
+    fs = tmp.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(tmp, "_SUCCESS")):
+        fs.delete(tmp, True)
+        return 0
+    dest = jvm.org.apache.hadoop.fs.Path(corpus_dir, "consumed")
+    fs.delete(dest, True)
+    if not fs.rename(tmp, dest):
+        raise IOError(f"rename {tmp} -> {dest} failed")
+    return 1
 
 
 def reclose_corpus(
@@ -942,6 +1056,10 @@ def reclose_corpus(
     _recover_reclose(spark, corpus_dir)
     for sub in _CORPUS_SUBS:
         _recover_compaction(spark, corpus_dir, sub)
+    # before this run APPENDS to the ledger: a committed-but-unswapped
+    # ledger compaction means consumed/ is doomed (or already gone) —
+    # an append into the pre-swap dir would be deleted with it
+    _recover_consumed_compaction(spark, corpus_dir)
     meta = _read_state_or_none(spark, os.path.join(corpus_dir, "meta"))
     if meta is None:
         raise ValueError(
