@@ -1,0 +1,249 @@
+"""Randomized CRASH-INJECTION sweep over the corpus maintenance
+protocol (r10): stream drains interleaved with ``compact_corpus`` /
+``reclose_corpus`` / consumed-ledger faults, with crashes injected at
+random points inside the destructive windows, recovered only through
+the PUBLIC jobs (each self-recovers at entry).
+
+The hand-built crash tests pin one window each; this sweep composes
+them. The oracle is a REFERENCE RUN: the same batches and the same
+maintenance ops, no faults — crash + recovery must be INVISIBLE, so
+the final kept set, band-row set, dropped set, and retired-id ledger
+set must be identical (ledger compared as a set: an idempotent
+re-run's double-append is documented-benign). Along the way, the
+standing safety invariant is asserted after every injected crash:
+ANY leftover staging dir ⇒ the sink refuses to drain.
+
+Crash modes, drawn per maintenance op by the seeded rng:
+- none     : op completes (the reference run uses this for all ops)
+- before   : crash at a stage's commit point, nothing destroyed yet
+- mid      : crash inside the destructive window — a random subset of
+             the source ``bid=`` partitions already deleted
+- after    : crash after one ``_integrate_stage`` completed but
+             before the caller's next step (for reclose: between the
+             docs and bands integrations, or before tombstone
+             deletion — the pair/rewrite seams)
+- ledger_committed / ledger_worst : a consumed-ledger compaction
+             crashed at its commit point / inside its swap window
+             (live dir already deleted), injected between ops; the
+             next job's entry recovery must swap the stage in before
+             anything appends.
+
+Seeded ``random.Random`` keeps every case reproducible; failures
+print the seed.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+import salesforce_postgresql_etl_spark.streaming.jobs as J
+from salesforce_postgresql_etl_spark.streaming.jobs import (
+    compact_corpus,
+    neardup_stream_sink,
+    reclose_corpus,
+)
+
+from .test_neardup_stream import BANDING, THETA, _doc
+from .test_reclose_random import _random_batches, _random_docs
+
+
+class _InjectedCrash(Exception):
+    pass
+
+
+def _leftovers_present(spark, corpus_dir: str) -> bool:
+    if J._consumed_leftover(spark, corpus_dir) is not None:
+        return True
+    if J._reclose_leftovers(spark, corpus_dir):
+        return True
+    return any(
+        J._compaction_leftovers(spark, corpus_dir, sub)
+        for sub in J._CORPUS_SUBS
+    )
+
+
+def _patch_integrate(rng: random.Random, mode: str, crash_on_call: int):
+    """Swap J._integrate_stage for a variant that crashes on its Nth
+    call in the requested window; returns a restore() callable."""
+    orig = J._integrate_stage
+    state = {"n": 0}
+
+    def patched(spark, dir_path, kept_bid, tmp):
+        state["n"] += 1
+        if state["n"] != crash_on_call:
+            return orig(spark, dir_path, kept_bid, tmp)
+        if mode == "before":
+            raise _InjectedCrash(f"before integrate {dir_path}")
+        if mode == "mid":
+            jvm = spark._jvm
+            fs = jvm.org.apache.hadoop.fs.Path(dir_path).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            for i in J._committed_partition_ids(spark, dir_path, "bid="):
+                if i <= kept_bid and rng.random() < 0.5:
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(
+                            dir_path, f"bid={i}"
+                        ),
+                        True,
+                    )
+            raise _InjectedCrash(f"mid integrate {dir_path}")
+        orig(spark, dir_path, kept_bid, tmp)  # mode == "after"
+        raise _InjectedCrash(f"after integrate {dir_path}")
+
+    J._integrate_stage = patched
+
+    def restore():
+        J._integrate_stage = orig
+
+    return restore
+
+
+def _inject_ledger_fault(spark, corpus_dir: str, worst: bool) -> bool:
+    """Reproduce a consumed-ledger compaction crash: stage committed
+    (and, for the worst window, live dir already deleted). Returns
+    False when there is no ledger yet to fault."""
+    import shutil
+
+    consumed = os.path.join(corpus_dir, "consumed")
+    try:
+        ids = spark.read.parquet(consumed).select("doc_id").distinct()
+    except Exception:
+        return False
+    ids.repartition(1).write.mode("overwrite").parquet(
+        consumed + "__compact_tmp"
+    )
+    if worst:
+        shutil.rmtree(consumed)
+    return True
+
+
+def _run_sequence(spark, corpus_dir: str, batches, ops, rng=None):
+    """Drain `batches` through the sink with maintenance `ops`
+    interleaved. ops: list of (position, kind, mode) — after batch
+    index `position`, run `kind` with crash `mode` (rng=None ⇒ the
+    reference run: every mode forced to 'none')."""
+    sink = neardup_stream_sink(corpus_dir, threshold=THETA, **BANDING)
+    by_pos = {}
+    for pos, kind, mode in ops:
+        by_pos.setdefault(pos, []).append((kind, mode))
+
+    def run_maint(kind: str, mode: str):
+        job = compact_corpus if kind == "compact" else reclose_corpus
+        if rng is None or mode == "none":
+            job(spark, corpus_dir)
+            return
+        if mode in ("ledger_committed", "ledger_worst"):
+            if _inject_ledger_fault(
+                spark, corpus_dir, worst=(mode == "ledger_worst")
+            ):
+                assert _leftovers_present(spark, corpus_dir)
+                _assert_sink_refuses(spark, corpus_dir, sink)
+            job(spark, corpus_dir)  # entry recovery swaps the stage in
+            return
+        # reclose integrates up to 2 stages (docs, bands); compaction
+        # up to len(_CORPUS_SUBS) — crash on a random in-range call
+        max_calls = 2 if kind == "reclose" else len(J._CORPUS_SUBS)
+        restore = _patch_integrate(rng, mode, rng.randint(1, max_calls))
+        try:
+            job(spark, corpus_dir)
+            crashed = False
+        except _InjectedCrash:
+            crashed = True
+        finally:
+            restore()
+        # the integrate count can come in under the crash call number
+        # (nothing to merge in some dirs) — then the op just completed
+        if crashed and _leftovers_present(spark, corpus_dir):
+            _assert_sink_refuses(spark, corpus_dir, sink)
+        if crashed:
+            job(spark, corpus_dir)  # recover + complete via the job
+
+    for bid, rows in enumerate(batches):
+        sink(spark.createDataFrame(rows, "doc_id long, text string"), bid)
+        for kind, mode in by_pos.get(bid, []):
+            run_maint(kind, mode)
+
+
+def _assert_sink_refuses(spark, corpus_dir: str, sink) -> None:
+    probe = spark.createDataFrame(
+        [(999_999, _doc([f"probe{i}" for i in range(12)]))],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="leftover"):
+        sink(probe, 999_999)
+
+
+def _final_state(spark, corpus_dir: str):
+    kept = {
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(corpus_dir + "/docs").collect()
+    }
+    bands = {
+        (r.doc_id, r.band, r.bh, r.sz)
+        for r in spark.read.parquet(corpus_dir + "/bands").collect()
+    }
+
+    def _ids(sub):
+        try:
+            return {
+                r.doc_id
+                for r in spark.read.parquet(
+                    corpus_dir + "/" + sub
+                ).collect()
+            }
+        except Exception:
+            return set()
+
+    return kept, bands, _ids("dropped"), _ids("consumed")
+
+
+@pytest.mark.parametrize("seed", [7, 31, 83])
+def test_crashed_maintenance_is_invisible(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    docs = _random_docs(rng)
+    batches = _random_batches(rng, docs)
+    n = len(batches)
+    # two mid-stream maintenance points + a deterministic tail that
+    # exercises reclose-then-compact over whatever state remains
+    positions = sorted(rng.sample(range(n), k=min(2, n)))
+    modes = (
+        "before",
+        "mid",
+        "after",
+        "ledger_committed",
+        "ledger_worst",
+    )
+    ops = []
+    for i, pos in enumerate(positions):
+        kind = rng.choice(("compact", "reclose"))
+        # ledger faults need a prior reclose to have built a ledger —
+        # _inject_ledger_fault degrades to a plain run when absent
+        ops.append((pos, kind, rng.choice(modes)))
+    ops.append((n - 1, "reclose", rng.choice(modes)))
+    ops.append((n - 1, "compact", rng.choice(modes)))
+
+    crash_dir = str(tmp_path / f"crash{seed}")
+    clean_dir = str(tmp_path / f"clean{seed}")
+    _run_sequence(spark, crash_dir, batches, ops, rng=rng)
+    _run_sequence(
+        spark,
+        clean_dir,
+        batches,
+        [(p, k, "none") for p, k, _m in ops],
+        rng=None,
+    )
+
+    got, want = _final_state(spark, crash_dir), _final_state(
+        spark, clean_dir
+    )
+    for name, g, w in zip(("kept", "bands", "dropped", "ledger"), got, want):
+        assert g == w, (
+            f"seed {seed}: {name} diverged after injected crashes — "
+            f"only-in-crash={sorted(g - w)!r} "
+            f"only-in-clean={sorted(w - g)!r} (ops={ops})"
+        )
+    assert not _leftovers_present(spark, crash_dir)
