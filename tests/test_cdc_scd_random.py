@@ -1,0 +1,123 @@
+"""Seeded randomized snapshot-SEQUENCE sweep for CDC and SCD2
+(operators/cdc.py, operators/scd.py).
+
+The fixture tests pin single diffs and two-batch history; this sweep
+generates multi-step random snapshot sequences — per step each key
+can insert, delete, update (including NULL↔value transitions on a
+nullable tracked column), or hold — and asserts the two laws that
+make the pair production-trustworthy:
+
+1. CDC roundtrip at EVERY step:
+   ``apply_changes(S_i, snapshot_diff(S_i, S_{i+1},
+   include_values=True)) == S_{i+1}`` exactly.
+2. SCD2 point-in-time reconstruction: after folding ``scd2_apply``
+   over the whole sequence, the rows valid AS OF each batch
+   timestamp (``valid_from <= t < valid_to``, open = NULL) equal
+   snapshot ``S_i`` exactly — deletes, re-inserts after a gap, and
+   null transitions included — with at most one open row per key and
+   the final open slice equal to the last snapshot.
+
+Seeded ``random.Random``; failures print the seed and step.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from salesforce_postgresql_etl_spark.operators.cdc import (
+    apply_changes,
+    snapshot_diff,
+)
+from salesforce_postgresql_etl_spark.operators.scd import scd2_apply
+
+_SCHEMA = "k long, name string, qty long"
+_NAMES = ["ada", "bob", "cyd", "dee", "eli"]
+
+
+def _rand_payload(rng):
+    return (
+        rng.choice(_NAMES),
+        rng.choice([None, 1, 2, 3, 7]),  # nullable tracked column
+    )
+
+
+def _sequence(rng, n_keys=25, n_steps=5):
+    """List of snapshots, each {key: (name, qty)}."""
+    snap = {
+        k: _rand_payload(rng)
+        for k in range(n_keys)
+        if rng.random() < 0.6
+    }
+    seq = [dict(snap)]
+    for _ in range(n_steps - 1):
+        for k in range(n_keys):
+            r = rng.random()
+            if k in snap:
+                if r < 0.15:
+                    del snap[k]  # delete
+                elif r < 0.45:
+                    snap[k] = _rand_payload(rng)  # update (maybe no-op)
+            elif r < 0.25:
+                snap[k] = _rand_payload(rng)  # (re-)insert
+        seq.append(dict(snap))
+    return seq
+
+
+def _df(spark, snap):
+    rows = [(k, n, q) for k, (n, q) in sorted(snap.items())]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _rowset(df):
+    return {(r.k, r.name, r.qty) for r in df.collect()}
+
+
+def _want(snap):
+    return {(k, n, q) for k, (n, q) in snap.items()}
+
+
+@pytest.mark.parametrize("seed", [13, 61, 149])
+def test_cdc_roundtrip_on_random_sequences(spark, seed):
+    rng = random.Random(seed)
+    seq = _sequence(rng)
+    for i in range(len(seq) - 1):
+        old, new = _df(spark, seq[i]), _df(spark, seq[i + 1])
+        feed = snapshot_diff(old, new, ["k"], include_values=True)
+        got = _rowset(apply_changes(old, feed, ["k"]))
+        assert got == _want(seq[i + 1]), f"seed {seed} step {i}"
+
+
+@pytest.mark.parametrize("seed", [13, 61, 149])
+def test_scd2_point_in_time_reconstruction(spark, seed):
+    rng = random.Random(seed)
+    seq = _sequence(rng)
+    ts = [f"2026-01-{i + 1:02d} 00:00:00" for i in range(len(seq))]
+    table = spark.createDataFrame(
+        [], _SCHEMA + ", valid_from timestamp_ntz, valid_to timestamp_ntz"
+    )
+    for snap, t in zip(seq, ts):
+        table = scd2_apply(table, _df(spark, snap), "k", ["name", "qty"], t)
+    # materialize the 5-fold join lineage once; the as-of loop below
+    # would otherwise re-execute the whole chain per collect
+    table = table.localCheckpoint(eager=True)
+    rows = table.collect()
+
+    # at most one open row per key; open slice == last snapshot
+    open_rows = [r for r in rows if r.valid_to is None]
+    open_keys = [r.k for r in open_rows]
+    assert len(open_keys) == len(set(open_keys)), f"seed {seed}"
+    assert {(r.k, r.name, r.qty) for r in open_rows} == _want(seq[-1])
+
+    # point-in-time: as-of each batch ts, the valid rows == snapshot
+    for i, t in enumerate(ts):
+        asof = table.where(
+            (F.col("valid_from") <= F.lit(t).cast("timestamp_ntz"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") > F.lit(t).cast("timestamp_ntz"))
+            )
+        )
+        assert _rowset(asof) == _want(seq[i]), f"seed {seed} as-of step {i}"
