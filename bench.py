@@ -34,6 +34,15 @@ r5: the JSON also carries `calibration_range_sum_s` (best-of-3 of a
 constant-plan spark.range(1e8).sum() — moves only with machine
 conditions) and 1-minute loadavg at sweep start/end, so environmental
 drift is auditable from the artifact itself (VERDICT r4 #3).
+
+r11: a loadavg GATE (VERDICT r10 #2). Calibration normalizes box
+SPEED at the probe's instant; it does not — and in r10 demonstrably
+did not — correct for CONTENTION during the sweep (r10 started at
+loadavg 2.69, drifted +17% uniformly, and the normalization amplified
+it). The sweep now waits up to SPARK_GRAFT_LOADAVG_WAIT_S (300 s) for
+1-minute loadavg < SPARK_GRAFT_LOADAVG_GATE (1.5) and stamps
+`contended: true` in both the stdout line and the file if it must
+start loaded anyway.
 """
 
 from __future__ import annotations
@@ -411,7 +420,33 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
+    # (r11, VERDICT r10 #2) Loadavg gate: the r10 recorded sweep started
+    # at loadavg 2.69 and every query drifted +17% together with zero
+    # plan changes — ambient contention, which the calibration probe
+    # does NOT correct (calibration normalizes box SPEED measured at
+    # its own instant; contention DURING the sweep moves queries and
+    # probe independently, and in r10 amplified the error). Gate: wait
+    # up to SPARK_GRAFT_LOADAVG_WAIT_S (default 300 s) for 1-minute
+    # loadavg to drop below SPARK_GRAFT_LOADAVG_GATE (default 1.5);
+    # if it never does, RECORD the sweep but stamp "contended": true in
+    # both the stdout line and the file so no reader mistakes ambient
+    # drift for a plan regression. Only the START loadavg gates — by
+    # sweep end the bench's own local[32] work dominates loadavg.
+    gate = float(os.environ.get("SPARK_GRAFT_LOADAVG_GATE", "1.5"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_LOADAVG_WAIT_S", "300"))
+    waited = 0.0
+    while os.getloadavg()[0] >= gate and waited < wait_budget:
+        time.sleep(10)
+        waited += 10
     loadavg_start = os.getloadavg()[0]
+    contended = loadavg_start >= gate
+    if contended:
+        print(
+            f"# bench WARNING: starting contended (loadavg_1m "
+            f"{loadavg_start:.2f} >= {gate} after {waited:.0f}s wait) — "
+            f"sweep recorded with contended=true",
+            file=sys.stderr,
+        )
     calibration_s = round(min(calibrate() for _ in range(3)), 4)
 
     times: dict[str, float] = {}
@@ -461,6 +496,9 @@ def main() -> None:
             "calibration_range_sum_end_s": calibration_end_s,
             "loadavg_1m_start": round(loadavg_start, 2),
             "loadavg_1m_end": round(os.getloadavg()[0], 2),
+            "contended": contended,
+            "loadavg_gate": gate,
+            "loadavg_gate_waited_s": waited,
         }
     )
     # (r10, VERDICT r9 #2) stdout gets a COMPACT line: the driver keeps
@@ -478,6 +516,7 @@ def main() -> None:
             "sf": float(sf),
             "n_queries": len(times),
             "cal_mid_s": round(cal_mid, 3),
+            "contended": contended,
         },
         separators=(",", ":"),
     )

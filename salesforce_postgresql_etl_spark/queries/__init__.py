@@ -148,6 +148,80 @@ _MODULES = (
 # a green r10: never-green = 0 for the first time since r7, max
 # staleness 3 on exactly one query (q_incremental_extract), ≤2 on
 # the other 148.
+# r11 rotation (VERDICT r10 #1) — EXECUTED below as _R11_FRONT; the
+# fronted sets were recomputed with tests/coverage_ledger.py at
+# rotation time, not taken from the draft prose. The arithmetic the
+# r10 verdict demanded be resolved explicitly: candidates are
+# q_incremental_extract (the declared staleness-3 query, fronts
+# FIRST) + 49 r8-greens + flagship q_agg_group = 51 for 50 slots, so
+# exactly ONE r8-green is deferred to staleness 3 in its place —
+# q_compact_corpus, the LAST of the 49 in registration order (same
+# tie-break the r10 rotation used when it deferred
+# q_incremental_extract). q_compact_corpus stays pytest-covered in
+# the interim by tests/test_compact_corpus.py and the randomized
+# crash-injection sweep, and fronts FIRST in r12 (r12 draft:
+# q_compact_corpus + the 49 r9-greens minus flagship slots, recompute
+# with the ledger). After a green r11: max staleness 3 on exactly one
+# query (q_compact_corpus), ≤2 on the other 148, never-green empty.
+_R11_FRONT = (
+    # the declared staleness-3 query — fronts FIRST per VERDICT r10 #1
+    "q_incremental_extract",
+    # 48 of the 49 r8-greens, registration order (ledger-computed);
+    # q_compact_corpus (the 49th) deferred to front FIRST in r12
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_between",
+    "q_filter_null",
+    "q_join_star",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_join_cross",
+    "q_join_self",
+    "q_agg_global",
+    "q_agg_countdistinct",
+    "q_agg_approx_cd",
+    "q_agg_having",
+    "q_sort",
+    "q_topk",
+    "q_limit_offset",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_agg_groupingsets",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_pivot",
+    "q_agg_stats",
+    "q_agg_median",
+    "q_agg_arrays",
+    "q_agg_maxby",
+    "q_neardup_clusters",
+    "q_salted_agg",
+    "q_rollup_cascade",
+    "q_reconcile",
+    "q_dq_report",
+    "q_scd2_merge",
+    "q_validate_rules",
+    "q_salted_join",
+    "q_quantile_sketch",
+    "q_unpivot",
+    "q_repetition_filter",
+    "q_entity_match",
+    "q_phash_neardup",
+    "q_audiofp_neardup",
+    "q_video_neardup",
+    "q_media_embed",
+    "q_neardup_stream_equiv",
+    # flagship — always in-window
+    "q_agg_group",
+)
+# r10 rotation (VERDICT r9 #1) — executed, 50/50 green in
+# CORRECTNESS_r10 (window == this tuple exactly, judge-verified).
+# Kept for the ledger. Superseded by _R11_FRONT above.
 _R10_FRONT = (
     # never driver-graded (registered past the frozen r9 window)
     "q_semdedup",
@@ -470,10 +544,10 @@ def _ensure_loaded() -> None:
 
 def registry() -> dict[str, Query]:
     _ensure_loaded()
-    unknown = [n for n in _R10_FRONT if n not in _REGISTRY]
+    unknown = [n for n in _R11_FRONT if n not in _REGISTRY]
     if unknown:  # typo guard: a misspelled front entry would silently
-        raise ValueError(f"_R10_FRONT names not registered: {unknown}")
-    front = {n: _REGISTRY[n] for n in _R10_FRONT}
+        raise ValueError(f"_R11_FRONT names not registered: {unknown}")
+    front = {n: _REGISTRY[n] for n in _R11_FRONT}
     rest = {n: q for n, q in _REGISTRY.items() if n not in front}
     return {**front, **rest}
 

@@ -905,15 +905,33 @@ def _compact_consumed_ledger(
     fs = jvm.org.apache.hadoop.fs.Path(corpus_dir).getFileSystem(
         spark._jsc.hadoopConfiguration()
     )
+    # Stats dict has ONE stable schema (r10 ADVICE): no-op paths emit
+    # files_before == files_after so callers consuming
+    # compact_corpus()['consumed'] never branch on shape.
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(consumed_dir)):
-        return {"compacted": False, "files": 0, "recovered": recovered}
+        return {
+            "compacted": False,
+            "files_before": 0,
+            "files_after": 0,
+            "recovered": recovered,
+        }
+    # dir_parquet_stats walks the LOCAL filesystem (os.walk) — the
+    # established repo-wide sizing assumption (same as the reclose /
+    # corpus-compaction sizing). If the corpus ever moves off local
+    # disk, replace with an fs.listStatus scan (r10 ADVICE).
     n_before, total_bytes = dir_parquet_stats(consumed_dir)
     if n_before < 2:
         return {
             "compacted": False,
-            "files": n_before,
+            "files_before": n_before,
+            "files_after": n_before,
             "recovered": recovered,
         }
+    # Sized from PRE-distinct bytes: after distinct() collapses
+    # idempotent re-appends the output can be much smaller than
+    # target_file_bytes per file — harmless over-splitting, never
+    # under, and it avoids paying an extra count() job just for file
+    # sizing (r10 ADVICE: accepted overestimate).
     n_target = max(1, -(-total_bytes // target_file_bytes))
     ids = (
         spark.read.parquet(consumed_dir)
@@ -966,6 +984,26 @@ def _recover_consumed_compaction(spark, corpus_dir: str) -> int:
     jvm = spark._jvm
     fs = tmp.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(tmp, "_SUCCESS")):
+        # Commit-point contract (r10 ADVICE): _SUCCESS markers are the
+        # protocol's commit points, so deployments MUST keep
+        # mapreduce.fileoutputcommitter.marksuccessfuljobs=true (the
+        # default). Under that contract, "no _SUCCESS on the stage"
+        # implies the live dir was never deleted — the stage is
+        # uncommitted garbage. If the live dir is ALSO missing, the
+        # invariant is violated (marker writing disabled, or manual
+        # tampering) and deleting the stage would destroy the ONLY
+        # remaining copy of the retired-id ledger: refuse loudly
+        # instead of silently discarding it.
+        live = jvm.org.apache.hadoop.fs.Path(corpus_dir, "consumed")
+        if not fs.exists(live):
+            raise RuntimeError(
+                f"consumed-ledger recovery refused: stage {tmp} lacks "
+                f"_SUCCESS but the live dir {live} is also missing. "
+                "This state is unreachable when "
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs=true "
+                "(required by this protocol); inspect the stage "
+                "manually — it may be the only surviving ledger copy."
+            )
         fs.delete(tmp, True)
         return 0
     dest = jvm.org.apache.hadoop.fs.Path(corpus_dir, "consumed")

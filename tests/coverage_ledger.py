@@ -57,7 +57,12 @@ def main() -> None:
         stale_set = sorted(q for q in reg if green.get(q) == stalest)
         print(f"stalest (r{stalest}) queries: {stale_set}")
     front = reg[:50]
-    print(f"front-50 window (graded next round): {front}")
+    # Label fix (VERDICT r10 "what's wrong" #3): this prints whatever
+    # _RN_FRONT the registry CURRENTLY pins — i.e. the last-executed
+    # rotation. Until the next rotation is executed mid-round, that is
+    # the window the driver graded LAST round, not a draft of the next.
+    print(f"front-50 window (current _RN_FRONT — the window as pinned now; "
+          f"graded at the next driver run): {front}")
     print("per-query latest green (registration order):")
     for q in reg:
         print(f"  {q}: r{green[q]}" if q in green else f"  {q}: —")

@@ -252,13 +252,39 @@ def test_compact_noop_on_single_file_and_missing_ledger(spark, tmp_path):
         0,
     )
     stats = compact_corpus(spark, corpus_dir)
+    # one stable stats schema on every path (r10 ADVICE): no-op paths
+    # emit files_before == files_after, never a bare 'files' key
     assert stats["consumed"] == {
         "compacted": False,
-        "files": 0,
+        "files_before": 0,
+        "files_after": 0,
         "recovered": 0,
     }
     corpus2, _sink2 = _build_two_recloses(spark, tmp_path / "two")
     compact_corpus(spark, corpus2)
     again = compact_corpus(spark, corpus2)
     assert again["consumed"]["compacted"] is False
-    assert again["consumed"]["files"] == 1
+    assert again["consumed"]["files_before"] == 1
+    assert again["consumed"]["files_after"] == 1
+
+
+def test_recovery_refuses_uncommitted_stage_when_live_missing(
+    spark, tmp_path
+):
+    """r10 ADVICE: stage without _SUCCESS + live consumed/ missing is
+    unreachable under marksuccessfuljobs=true — it means the marker
+    contract was violated and the stage may be the ONLY surviving
+    ledger copy. Recovery must refuse (raise), never silently delete
+    the stage."""
+    import shutil
+
+    corpus_dir, _sink = _build_two_recloses(spark, tmp_path)
+    _stage_committed(spark, corpus_dir)
+    # simulate a deployment with marker-writing disabled: strip the
+    # _SUCCESS, then lose the live dir
+    os.remove(corpus_dir + "/consumed__compact_tmp/_SUCCESS")
+    shutil.rmtree(corpus_dir + "/consumed")
+    with pytest.raises(RuntimeError, match="recovery refused"):
+        _recover_consumed_compaction(spark, corpus_dir)
+    # the stage is NOT deleted by the refusal — operator can inspect
+    assert _consumed_leftover(spark, corpus_dir) is not None

@@ -266,3 +266,36 @@ def test_split_top_comparison_not_nesting():
     assert window_partitions(plan) == (
         ("CASE WHEN (a < b) THEN x ELSE y END", "c"),
     )
+
+
+def test_split_top_angle_only_after_type_keywords():
+    """r10 VERDICT ("what's wrong" #2): a '<' after a non-type
+    identifier (e.g. an unspaced comparison ``x<y``) must NOT open an
+    angle group — previously a later genuine comparison '>' would have
+    been consumed to close the phantom group, corrupting the split.
+    Also the verdict's named case: a comparison following a map<...>
+    annotation in the same expression list."""
+    from salesforce_postgresql_etl_spark.plans.audit import _split_top
+
+    # unspaced comparison: no phantom angle group, later ',' still splits
+    assert _split_top("(x#1<y#2), a#3, (b#4>c#5)") == [
+        "(x#1<y#2)",
+        "a#3",
+        "(b#4>c#5)",
+    ]
+    # CASE WHEN comparison inside a list that ALSO carries a map<...>
+    # annotation: the map's angles nest, the comparison's do not
+    assert _split_top(
+        "cast(m#1 as map<string,int>), CASE WHEN (a#2 < b#3) THEN 1 ELSE 0 END, c#4"
+    ) == [
+        "cast(m#1 as map<string,int>)",
+        "CASE WHEN (a#2 < b#3) THEN 1 ELSE 0 END",
+        "c#4",
+    ]
+    # keyword must sit at a word boundary: 'submap<' is not a type
+    assert _split_top("(submap#1<q#2), r#3") == ["(submap#1<q#2)", "r#3"]
+    # all three type keywords still open, case-insensitively
+    assert _split_top("cast(x#1 as ARRAY<MAP<string,int>>), y#2") == [
+        "cast(x#1 as ARRAY<MAP<string,int>>)",
+        "y#2",
+    ]
