@@ -1,0 +1,147 @@
+"""Randomized batch≡stream equivalence sweep (VERDICT r10 #8).
+
+The T1–T3/T5 transformations (tumbling, sliding, session windows,
+exact dedup) were fixture-pinned only: every existing streaming test
+drives the SAME tiny events fixture through ``availableNow``. This
+sweep generates seeded RANDOM event corpora — random session gaps,
+deliberate late rows (a burst of the oldest timestamps arriving in the
+LAST micro-batch), duplicate bursts scattered across micro-batches —
+chunks them into single-file micro-batches (``maxFilesPerTrigger=1``),
+and asserts each streaming drain equals the batch form of the same
+transformation function applied to the same directory. The batch form
+is the oracle: transport (micro-batch sequencing, state store,
+checkpoint) must not change semantics, whatever the arrival order.
+
+Failures print the seed — re-run with
+``SPARK_GRAFT_STREAM_SEED=<seed>`` to reproduce a single corpus.
+
+Model: tests/test_asof_random.py (the J9 randomized differential the
+r10 verdict asked to replicate on this seam).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import pytest
+
+from salesforce_postgresql_etl_spark.sources.tables import normalize_event_ts
+from salesforce_postgresql_etl_spark.streaming.jobs import (
+    dedup_events,
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_SEEDS = (
+    [int(os.environ["SPARK_GRAFT_STREAM_SEED"])]
+    if os.environ.get("SPARK_GRAFT_STREAM_SEED")
+    else [11, 137, 4099]
+)
+
+_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
+_TYPES = ["click", "view", "purchase", "signup", "error"]
+_BASE = dt.datetime(2025, 3, 1, 0, 0, 0)
+
+
+def _random_corpus(rng: random.Random):
+    """Rows with per-user session structure: sessions separated by
+    gaps drawn ABOVE the 30-min session gap, events inside a session
+    spaced below it, plus borderline spacings near exactly 30 min
+    (both engines share the gap rule — the stress here is state
+    merging across micro-batches, not the rule itself)."""
+    rows = []
+    eid = 0
+    for user in range(1, rng.randint(4, 9)):
+        t = _BASE + dt.timedelta(minutes=rng.uniform(0, 600))
+        for _sess in range(rng.randint(1, 5)):
+            for _ev in range(rng.randint(1, 12)):
+                eid += 1
+                rows.append(
+                    (
+                        eid,
+                        t,
+                        user,
+                        rng.choice(_TYPES),
+                        round(rng.uniform(-50, 50), 6),
+                        f"p{rng.randint(0, 9)}",
+                    )
+                )
+                # intra-session spacing: mostly well under the gap,
+                # sometimes borderline (29–31 min — may or may not
+                # split, identically on both sides)
+                mins = (
+                    rng.uniform(29.0, 31.0)
+                    if rng.random() < 0.15
+                    else rng.uniform(0.1, 25.0)
+                )
+                t += dt.timedelta(minutes=mins)
+            # inter-session gap: strictly above the 30-min gap
+            t += dt.timedelta(minutes=rng.uniform(35, 240))
+    # duplicate bursts: ~10% of rows re-sent verbatim 1–3 times (same
+    # event_id AND same payload, so the dedup survivor is well-defined)
+    dups = []
+    for row in rows:
+        if rng.random() < 0.10:
+            dups.extend([row] * rng.randint(1, 3))
+    return rows + dups
+
+
+def _chunked_random_corpus(spark, rng, dest: str) -> int:
+    """Shuffle the corpus across 3–6 single-file chunks (random
+    arrival order) and force a LATE BURST: the 5% oldest rows are
+    withheld into the final chunk, so they arrive after every newer
+    row has already been processed. Returns the chunk count."""
+    rows = _random_corpus(rng)
+    rows.sort(key=lambda r: r[1])
+    n_late = max(1, len(rows) // 20)
+    late, rest = rows[:n_late], rows[n_late:]
+    rng.shuffle(rest)
+    n_chunks = rng.randint(3, 6)
+    chunks = [rest[i::n_chunks] for i in range(n_chunks - 1)]
+    chunks.append(late)  # the oldest rows arrive LAST
+    for chunk in chunks:
+        (
+            spark.createDataFrame(chunk, _SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(dest)
+        )
+    return n_chunks
+
+
+_OPS = {
+    "tumbling": (tumbling_counts, "complete"),
+    "sliding": (sliding_counts, "complete"),
+    "session": (session_windows, "complete"),
+    "dedup": (dedup_events, "append"),
+}
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+def test_random_corpus_batch_equals_stream(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    src = str(tmp_path / f"events_{seed}")
+    n_chunks = _chunked_random_corpus(spark, rng, src)
+    batch_events = normalize_event_ts(spark.read.parquet(src))
+    for op_name, (fn, mode) in _OPS.items():
+        stream = fn(read_events_stream(spark, src, max_files=1))
+        got = run_available_now(
+            stream, str(tmp_path / f"ckpt_{seed}_{op_name}"), mode
+        )
+        want = fn(batch_events)
+        assert _rows(got) == _rows(want), (
+            f"seed={seed} op={op_name} chunks={n_chunks}: stream != batch "
+            f"(reproduce with SPARK_GRAFT_STREAM_SEED={seed})"
+        )
