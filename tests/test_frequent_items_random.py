@@ -1,0 +1,89 @@
+"""Randomized Misra-Gries property sweep (r11 depth, extends the
+fixture-pinned tests in test_frequent_items.py the same way
+test_asof_random.py extended J9): seeded random skewed streams ×
+random capacity × random partitioning, asserting the three guarantees
+MG must hold under ANY of them —
+
+1. bracket:      count_lower ≤ true ≤ count_upper for every survivor
+2. completeness: any item with true count > D (the merged decrement
+                 slack, count_upper − count_lower) is tracked
+3. slack bound:  D ≤ n / (capacity + 1) — each partition's decrement
+                 count is ≤ n_p/(cap+1) and the merge adds them, so
+                 the distributed bound telescopes to the global one
+
+Failures print the (seed, capacity, parts) triple; re-run a single
+config with SPARK_GRAFT_MG_SEED=<seed>.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from collections import Counter
+
+import pytest
+
+from salesforce_postgresql_etl_spark.operators.sketch import frequent_items
+
+_SEEDS = (
+    [int(os.environ["SPARK_GRAFT_MG_SEED"])]
+    if os.environ.get("SPARK_GRAFT_MG_SEED")
+    else [23, 509, 8191]
+)
+
+
+def _random_stream(rng: random.Random):
+    """A skewed stream: a few deliberate heavy hitters over a zipf-ish
+    long tail, shuffled so heavy items interleave with tail noise."""
+    n_hot = rng.randint(1, 4)
+    vals = []
+    for h in range(n_hot):
+        vals += [f"hot{h}"] * rng.randint(150, 600)
+    tail_domain = rng.randint(50, 800)
+    for _ in range(rng.randint(400, 2500)):
+        # zipf-ish: low ranks much likelier
+        r = int(tail_domain * (rng.random() ** 3))
+        vals.append(f"n{r}")
+    rng.shuffle(vals)
+    return vals
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+def test_mg_guarantees_random_streams(spark, seed):
+    rng = random.Random(seed)
+    for _trial in range(3):
+        capacity = rng.randint(4, 32)
+        parts = rng.randint(1, 16)
+        vals = _random_stream(rng)
+        truth = Counter(vals)
+        n = len(vals)
+        ctx = f"seed={seed} capacity={capacity} parts={parts} n={n}"
+        out = frequent_items(
+            spark.createDataFrame([(v,) for v in vals], "w string")
+            .repartition(parts),
+            "w",
+            capacity=capacity,
+        ).collect()
+        assert out, f"{ctx}: summary empty despite heavy hitters"
+        d_total = out[0].count_upper - out[0].count_lower
+        # guarantee 3: merged slack telescopes to the global MG bound
+        assert d_total <= n / (capacity + 1), (
+            f"{ctx}: D={d_total} exceeds n/(cap+1)={n / (capacity + 1)}"
+        )
+        tracked = set()
+        for r in out:
+            # every row carries the same merged slack
+            assert r.count_upper - r.count_lower == d_total, ctx
+            # guarantee 1: bracket
+            assert r.count_lower <= truth[r.item] <= r.count_upper, (
+                f"{ctx}: {r.item} bracket "
+                f"[{r.count_lower},{r.count_upper}] vs true {truth[r.item]}"
+            )
+            tracked.add(r.item)
+        # guarantee 2: completeness above the slack
+        for item, c in truth.items():
+            if c > d_total:
+                assert item in tracked, (
+                    f"{ctx}: true-heavy {item} (count {c} > D {d_total}) "
+                    f"evicted"
+                )

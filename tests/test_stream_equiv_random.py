@@ -145,3 +145,96 @@ def test_random_corpus_batch_equals_stream(spark, tmp_path, seed):
             f"seed={seed} op={op_name} chunks={n_chunks}: stream != batch "
             f"(reproduce with SPARK_GRAFT_STREAM_SEED={seed})"
         )
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+def test_random_corpus_stateful_final_state(spark, tmp_path, seed):
+    """T6 transport under random arrival: the LAST update-mode emission
+    per user (max n_events row — state is monotone in n) must equal
+    the batch per-user count + power-of-two-quantized value total.
+    Exactness argument: each micro-batch adds (int64-exact floor sum)
+    / 2^20 — division by a power of two is exact in IEEE doubles and
+    the int sums stay far below 2^53, so per-batch accumulation equals
+    the one-shot batch quantizer bit-for-bit regardless of how the
+    random chunking splits the rows."""
+    from pyspark.sql import functions as F
+
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        stateful_user_counts,
+    )
+
+    rng = random.Random(seed)
+    src = str(tmp_path / f"ev_state_{seed}")
+    _chunked_random_corpus(spark, rng, src)
+    stream = stateful_user_counts(read_events_stream(spark, src, max_files=1))
+    got = run_available_now(stream, str(tmp_path / f"ckpt_st_{seed}"), "update")
+    final = {}
+    for r in got.orderBy("n_events").collect():  # later rows overwrite
+        final[r.user_id] = (r.n_events, r.total_value)
+    m = float(2**20)
+    batch = {
+        r.user_id: (r.n, r.total)
+        for r in normalize_event_ts(spark.read.parquet(src))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * F.lit(m))).cast("double")
+                / F.lit(m)
+            ).alias("total"),
+        )
+        .collect()
+    }
+    assert final == batch, (
+        f"seed={seed}: stateful final state != batch totals "
+        f"(reproduce with SPARK_GRAFT_STREAM_SEED={seed})"
+    )
+
+
+def _ordered_chunks(spark, rng, dest: str) -> int:
+    """ts-ordered chunk arrival (no late burst): the watermark
+    equivalence precondition for the T9 inner join — rows never arrive
+    older than a prior micro-batch, so the 2 h watermark (> the 1 h
+    join horizon) evicts only state that can no longer match and the
+    availableNow drain must emit exactly the batch interval join.
+    (The LATE-burst corpora above deliberately stay away from T9: an
+    inner join drops post-watermark rows by design — that is T4
+    semantics, pinned separately in test_streaming.py.)"""
+    rows = _random_corpus(rng)
+    rows.sort(key=lambda r: r[1])
+    n_chunks = rng.randint(3, 6)
+    size = -(-len(rows) // n_chunks)
+    for i in range(n_chunks):
+        chunk = rows[i * size : (i + 1) * size]
+        if chunk:
+            (
+                spark.createDataFrame(chunk, _SCHEMA)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(dest)
+            )
+    return n_chunks
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
+def test_random_corpus_stream_stream_join(spark, tmp_path, seed):
+    """T9 transport under random (ts-ordered) arrival: the watermarked
+    click→purchase interval join drained availableNow in append mode
+    equals the batch interval join over the same corpus."""
+    from salesforce_postgresql_etl_spark.streaming.jobs import (
+        attribution_join,
+    )
+
+    rng = random.Random(seed)
+    src = str(tmp_path / f"ev_ssj_{seed}")
+    n_chunks = _ordered_chunks(spark, rng, src)
+    batch = attribution_join(normalize_event_ts(spark.read.parquet(src)))
+    got = run_available_now(
+        attribution_join(read_events_stream(spark, src, max_files=1)),
+        str(tmp_path / f"ckpt_ssj_{seed}"),
+        "append",
+    )
+    assert _rows(got) == _rows(batch), (
+        f"seed={seed} chunks={n_chunks}: stream-stream join != batch "
+        f"(reproduce with SPARK_GRAFT_STREAM_SEED={seed})"
+    )
