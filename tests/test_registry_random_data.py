@@ -1,0 +1,374 @@
+"""Randomized-DATA differential over the FULL oracle registry (r11).
+
+test_differential.py proves Spark ≡ DuckDB for every registered query
+on the ONE driver fixture at sf0.01. This module re-proves the entire
+oracle registry on a freshly SYNTHESIZED seeded random dataset with
+the same 10-table shape — different key distributions, different
+duplicate/near-duplicate plantings, different skew, different
+text/embedding content — so any query whose correctness silently
+depends on a PROPERTY OF THE FIXTURE (a value that never ties, a
+cluster that never chains, a group that never exceeds a cap) gets a
+second, independent draw. Primary keys stay UNIQUE exactly like the
+fixture (the determinism layer's total orders — e.g. window tiebreaks
+on event_id — are contracts on the data model, not accidents), while
+duplicate CONTENT (repeated doc text, near-identical embeddings) is
+planted at random, which is how the real corpus carries duplicates.
+
+Value domains (event types, market segments, vocab, label range)
+mirror the fixture because registered queries filter on those
+literals; distributions and cross-table references are random.
+
+Default: one seed (wall-bounded); SPARK_GRAFT_DATA_SEED=<seed>
+reproduces or explores.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+import os
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from salesforce_postgresql_etl_spark.queries import registry
+from salesforce_postgresql_etl_spark.sources import TABLES
+
+from .differential import compare
+
+_SEED = int(os.environ.get("SPARK_GRAFT_DATA_SEED", "9173"))
+
+_REG = registry()
+# q_quantile_sketch's oracle hard-codes a 0.05 rank-error tolerance —
+# valid at fixture densities (sf0.001 packs ~36 events per (day,type)
+# group) but UNACHIEVABLE by any estimator, exact included, when a
+# random draw makes groups smaller than 20 rows (the empirical CDF's
+# own granularity is 1/n > 0.05; seed 9173 produces 70 groups all
+# under 20). On random data it gets the granularity-aware assertion
+# below instead of the fixed-tolerance compare. Everything else runs
+# driver-strict.
+_GRANULARITY_SENSITIVE = {"q_quantile_sketch"}
+_SQL_NAMES = sorted(
+    n
+    for n, q in _REG.items()
+    if q.oracle is not None and n not in _GRANULARITY_SENSITIVE
+)
+_ROWS_NAMES = sorted(n for n, q in _REG.items() if q.oracle is None)
+
+_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash "
+    "join key line merge order part query row scan slow small sort "
+    "spark stream table the value vector window"
+).split()
+_ETYPES = ["click", "view", "purchase", "signup", "error"]
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PTYPES = ["ECONOMY", "PROMO", "STANDARD", "SMALL", "LARGE"]
+_PNAMES = ["cold", "small", "large", "hot", "dim"]
+_PNOUNS = ["widget", "bolt", "gear", "cog", "tube"]
+_EMB_DIM = 64
+
+
+def _ts(rng, y0=1996, y1=2002):
+    base = dt.datetime(y0, 1, 1)
+    return base + dt.timedelta(days=rng.uniform(0, (y1 - y0) * 365.0))
+
+
+def _gen_dataset(rng: random.Random, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(name, cols: dict, types: dict):
+        arrays = {
+            c: pa.array(v, type=types.get(c)) for c, v in cols.items()
+        }
+        pq.write_table(pa.table(arrays), f"{out_dir}/{name}.parquet")
+
+    i32, i64, f64, s = pa.int32(), pa.int64(), pa.float64(), pa.string()
+    ts_us = pa.timestamp("us")
+
+    write(
+        "region",
+        {"r_regionkey": list(range(5)), "r_name": _REGIONS},
+        {"r_regionkey": i32, "r_name": s},
+    )
+    n_nation = 25
+    write(
+        "nation",
+        {
+            "n_nationkey": list(range(n_nation)),
+            "n_name": [f"NATION_{i}" for i in range(n_nation)],
+            "n_regionkey": [rng.randrange(5) for _ in range(n_nation)],
+        },
+        {"n_nationkey": i32, "n_name": s, "n_regionkey": i32},
+    )
+    n_cust = rng.randint(120, 220)
+    write(
+        "customer",
+        {
+            "c_custkey": list(range(n_cust)),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": [rng.randrange(n_nation) for _ in range(n_cust)],
+            "c_acctbal": [round(rng.uniform(-999, 9999), 2) for _ in range(n_cust)],
+            "c_mktsegment": [rng.choice(_SEGS) for _ in range(n_cust)],
+        },
+        {"c_custkey": i64, "c_name": s, "c_nationkey": i32,
+         "c_acctbal": f64, "c_mktsegment": s},
+    )
+    n_supp = rng.randint(8, 16)
+    write(
+        "supplier",
+        {
+            "s_suppkey": list(range(n_supp)),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": [rng.randrange(n_nation) for _ in range(n_supp)],
+            "s_acctbal": [round(rng.uniform(0, 9999), 2) for _ in range(n_supp)],
+        },
+        {"s_suppkey": i64, "s_name": s, "s_nationkey": i32, "s_acctbal": f64},
+    )
+    n_part = rng.randint(150, 260)
+    write(
+        "part",
+        {
+            "p_partkey": list(range(n_part)),
+            "p_name": [
+                f"{rng.choice(_PNAMES)} {rng.choice(_PNOUNS)}"
+                for _ in range(n_part)
+            ],
+            "p_brand": [f"Brand#{rng.randrange(1, 26)}" for _ in range(n_part)],
+            "p_type": [rng.choice(_PTYPES) for _ in range(n_part)],
+            "p_size": [rng.randrange(1, 51) for _ in range(n_part)],
+            "p_retailprice": [round(900 + 0.1 * i, 2) for i in range(n_part)],
+        },
+        {"p_partkey": i64, "p_name": s, "p_brand": s, "p_type": s,
+         "p_size": i32, "p_retailprice": f64},
+    )
+    # SKEWED order distribution: a few hot customers hold many orders
+    n_ord = rng.randint(1200, 1800)
+    hot_custs = rng.sample(range(n_cust), 3)
+    custs = [
+        rng.choice(hot_custs) if rng.random() < 0.25 else rng.randrange(n_cust)
+        for _ in range(n_ord)
+    ]
+    write(
+        "orders",
+        {
+            "o_orderkey": list(range(n_ord)),
+            "o_custkey": custs,
+            "o_orderstatus": [rng.choice("OFP") for _ in range(n_ord)],
+            "o_totalprice": [round(rng.uniform(900, 450000), 2) for _ in range(n_ord)],
+            "o_orderdate": [
+                _ts(rng).replace(hour=0, minute=0, second=0, microsecond=0)
+                for _ in range(n_ord)
+            ],
+            "o_orderpriority": [rng.choice(_PRIOS) for _ in range(n_ord)],
+        },
+        {"o_orderkey": i64, "o_custkey": i64, "o_orderstatus": s,
+         "o_totalprice": f64, "o_orderdate": ts_us, "o_orderpriority": s},
+    )
+    # lineitem: 1–7 lines per order drawn for a subset of orders;
+    # (l_orderkey, l_linenumber) unique like the fixture
+    lk, ln, lp, lsup, lq, lep, ldisc, ltax, lrf, lls, lsd = (
+        [], [], [], [], [], [], [], [], [], [], []
+    )
+    for ok in range(n_ord):
+        for line in range(1, rng.randint(1, 7) + 1):
+            if rng.random() < 0.4:
+                continue
+            lk.append(ok)
+            ln.append(line)
+            lp.append(rng.randrange(n_part))
+            lsup.append(rng.randrange(n_supp))
+            lq.append(float(rng.randrange(1, 51)))
+            lep.append(round(rng.uniform(900, 100000), 2))
+            ldisc.append(round(rng.uniform(0, 0.1), 2))
+            ltax.append(round(rng.uniform(0, 0.08), 2))
+            lrf.append(rng.choice("RNA"))
+            lls.append(rng.choice("FO"))
+            lsd.append(
+                _ts(rng).replace(hour=0, minute=0, second=0, microsecond=0)
+            )
+    write(
+        "lineitem",
+        {
+            "l_orderkey": lk, "l_partkey": lp, "l_suppkey": lsup,
+            "l_linenumber": ln, "l_quantity": lq, "l_extendedprice": lep,
+            "l_discount": ldisc, "l_tax": ltax, "l_returnflag": lrf,
+            "l_linestatus": lls, "l_shipdate": lsd,
+        },
+        {"l_orderkey": i64, "l_partkey": i64, "l_suppkey": i64,
+         "l_linenumber": i32, "l_quantity": f64, "l_extendedprice": f64,
+         "l_discount": f64, "l_tax": f64, "l_returnflag": s,
+         "l_linestatus": s, "l_shipdate": ts_us},
+    )
+    # events: unique event_id, skewed users, bursty sessions
+    n_ev = rng.randint(800, 1400)
+    t = dt.datetime(2024, 1, 1)
+    ev_ts = []
+    for _ in range(n_ev):
+        t += dt.timedelta(minutes=rng.uniform(0.2, 45))
+        ev_ts.append(t)
+    write(
+        "events",
+        {
+            "event_id": list(range(n_ev)),
+            "ts": ev_ts,
+            "user_id": [
+                rng.randrange(3) if rng.random() < 0.4 else rng.randrange(15)
+                for _ in range(n_ev)
+            ],
+            "event_type": [rng.choice(_ETYPES) for _ in range(n_ev)],
+            "value": [round(rng.uniform(0, 200), 2) for _ in range(n_ev)],
+            "props": [
+                json.dumps({"k": rng.randrange(100)}) for _ in range(n_ev)
+            ],
+        },
+        {"event_id": i64, "ts": ts_us, "user_id": i64, "event_type": s,
+         "value": f64, "props": s},
+    )
+    # documents: unique doc_id; ~6% exact text duplicates, ~12% near
+    # duplicates (1–2 token edits), rest fresh word-salad
+    n_doc = rng.randint(400, 650)
+    texts: list[str] = []
+    for _ in range(n_doc):
+        r = rng.random()
+        if texts and r < 0.06:
+            texts.append(rng.choice(texts))  # exact duplicate
+        elif texts and r < 0.18:
+            toks = rng.choice(texts).split()
+            for _e in range(rng.randint(1, 2)):
+                toks[rng.randrange(len(toks))] = rng.choice(_VOCAB)
+            texts.append(" ".join(toks))  # near duplicate
+        else:
+            texts.append(
+                " ".join(
+                    rng.choice(_VOCAB) for _ in range(rng.randint(8, 22))
+                )
+            )
+    write(
+        "documents",
+        {
+            "doc_id": list(range(n_doc)),
+            "text": texts,
+            "lang": [rng.choice(["en", "es", "de", "fr", "zh"]) for _ in range(n_doc)],
+            "source": [f"src{rng.randrange(20)}" for _ in range(n_doc)],
+            "n_chars": [rng.randint(47, 558) for _ in range(n_doc)],
+        },
+        {"doc_id": i64, "text": s, "lang": s, "source": s, "n_chars": i64},
+    )
+    # embeddings: 10 random cluster centers + noise, L2-normalized,
+    # label = cluster; ~8% near-duplicate vectors (tiny perturbations)
+    centers = [
+        [rng.gauss(0, 1) for _ in range(_EMB_DIM)] for _ in range(10)
+    ]
+    n_vec = rng.randint(380, 600)
+    vecs, labels = [], []
+    for _ in range(n_vec):
+        if vecs and rng.random() < 0.08:
+            src = rng.randrange(len(vecs))
+            v = [x + rng.gauss(0, 0.002) for x in vecs[src]]
+            labels.append(labels[src])
+        else:
+            lab = rng.randrange(10)
+            v = [c + rng.gauss(0, 0.35) for c in centers[lab]]
+            labels.append(lab)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        vecs.append([x / norm for x in v])
+    write(
+        "embeddings",
+        {
+            "vec_id": list(range(n_vec)),
+            "embedding": [[float(x) for x in v] for v in vecs],
+            "label": labels,
+        },
+        {"vec_id": i64, "embedding": pa.list_(pa.float32()), "label": i32},
+    )
+
+
+@pytest.fixture(scope="module")
+def rnd_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp(f"rnd_data_{_SEED}"))
+    _gen_dataset(random.Random(_SEED), d)
+    return d
+
+
+@pytest.fixture(scope="module")
+def duck_rnd(rnd_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{rnd_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _SQL_NAMES)
+def test_oracle_match_random_data(name, spark, duck_rnd, rnd_dir):
+    q = _REG[name]
+    df = q.fn(spark, rnd_dir)
+    try:
+        compare(df, duck_rnd, q.oracle, name=f"{name}[seed={_SEED}]")
+    except AssertionError as e:
+        raise AssertionError(
+            f"{e} (reproduce with SPARK_GRAFT_DATA_SEED={_SEED})"
+        ) from e
+
+
+@pytest.mark.parametrize("name", _ROWS_NAMES)
+def test_rows_only_runs_random_data(name, spark, rnd_dir):
+    q = _REG[name]
+    df = q.fn(spark, rnd_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_quantile_sketch_granularity_aware(spark, rnd_dir):
+    """q_quantile_sketch on random data: the fixed 0.05 tolerance in
+    the registered oracle presumes fixture-density groups (see
+    _GRANULARITY_SENSITIVE above), so here the KLL cascade is held to
+    the bound an estimator can actually meet on ANY group size —
+    rank error ≤ 0.05 + 1/n_group (at k=800 the sketch is exact for
+    these group sizes; the 1/n term is the empirical CDF's own step)."""
+    from pyspark.sql import functions as F
+
+    from salesforce_postgresql_etl_spark.operators.sketch import (
+        quantile_cascade,
+    )
+    from salesforce_postgresql_etl_spark.sources import load
+
+    e = load(spark, rnd_dir, "events").select("ts", "event_type", "value")
+    est = quantile_cascade(e, dim="event_type", qs=(0.5, 0.9))
+    raw = e.select(
+        F.date_trunc("day", "ts").alias("day"), "event_type", "value"
+    )
+    rows = (
+        raw.join(est, ["day", "event_type"])
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.when(F.col("value") <= F.col("q50_est"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("r50"),
+            (
+                F.sum(F.when(F.col("value") <= F.col("q90_est"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("r90"),
+        )
+        .collect()
+    )
+    assert rows, "no (day, type) groups"
+    for r in rows:
+        bound = 0.05 + 1.0 / r.n
+        for rank, q in ((r.r50, 0.5), (r.r90, 0.9)):
+            assert abs(rank - q) <= bound, (
+                f"day={r.day} type={r.event_type} n={r.n}: rank {rank:.3f} "
+                f"vs q={q} exceeds granularity-aware bound {bound:.3f} "
+                f"(reproduce with SPARK_GRAFT_DATA_SEED={_SEED})"
+            )
