@@ -7,6 +7,13 @@ re-planning shows up as a hash mismatch. This is the cluster-resize
 guarantee (SCALE.md "Partition-independence sweep") made empirical.
 
 Usage:  python tests/hostile_session_sweep.py [sf_dir]
+
+SPARK_GRAFT_HOSTILE_SKIP — comma-separated query names to exclude,
+for non-fixture sf_dirs where a query's oracle embeds a
+fixture-density assumption (e.g. q_quantile_sketch's fixed 0.05 rank
+tolerance — see tests/test_registry_random_data.py
+_GRANULARITY_SENSITIVE — which is unachievable on small random
+(day,type) groups regardless of session hostility).
 """
 
 from __future__ import annotations
@@ -36,9 +43,17 @@ def main() -> None:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    skip = {
+        n
+        for n in os.environ.get("SPARK_GRAFT_HOSTILE_SKIP", "").split(",")
+        if n
+    }
     ok = bad = 0
     for name, q in registry().items():
         if q.oracle is None:
+            continue
+        if name in skip:
+            print(f"SKIP {name} (SPARK_GRAFT_HOSTILE_SKIP)")
             continue
         try:
             compare(q.fn(spark, sf_dir), con, q.oracle, name)
