@@ -201,7 +201,14 @@ def _final_state(spark, corpus_dir: str):
     return kept, bands, _ids("dropped"), _ids("consumed")
 
 
-@pytest.mark.parametrize("seed", [7, 31, 83])
+_SEEDS = (
+    [int(os.environ["SPARK_GRAFT_CRASH_SEED"])]
+    if os.environ.get("SPARK_GRAFT_CRASH_SEED")
+    else [7, 31, 83]
+)
+
+
+@pytest.mark.parametrize("seed", _SEEDS)
 def test_crashed_maintenance_is_invisible(spark, tmp_path, seed):
     rng = random.Random(seed)
     docs = _random_docs(rng)
