@@ -41,6 +41,11 @@ from salesforce_postgresql_etl_spark.sources import TABLES
 from .differential import compare
 
 _SEED = int(os.environ.get("SPARK_GRAFT_DATA_SEED", "9173"))
+# Row-count multiplier for the generated tables (default 1 ≈ sf0.001
+# magnitudes). A >1 sweep probes a DENSER regime: bigger near-dup
+# chains, hotter blocks, larger (day,type) groups — the caps and
+# tripwires see different pressure than at 1×.
+_SCALE = float(os.environ.get("SPARK_GRAFT_DATA_SCALE", "1"))
 
 _REG = registry()
 # q_quantile_sketch's oracle hard-codes a 0.05 rank-error tolerance —
@@ -106,7 +111,7 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
         },
         {"n_nationkey": i32, "n_name": s, "n_regionkey": i32},
     )
-    n_cust = rng.randint(120, 220)
+    n_cust = rng.randint(int(120 * _SCALE), int(220 * _SCALE))
     write(
         "customer",
         {
@@ -119,7 +124,7 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
         {"c_custkey": i64, "c_name": s, "c_nationkey": i32,
          "c_acctbal": f64, "c_mktsegment": s},
     )
-    n_supp = rng.randint(8, 16)
+    n_supp = rng.randint(int(8 * _SCALE), int(16 * _SCALE))
     write(
         "supplier",
         {
@@ -130,7 +135,7 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
         },
         {"s_suppkey": i64, "s_name": s, "s_nationkey": i32, "s_acctbal": f64},
     )
-    n_part = rng.randint(150, 260)
+    n_part = rng.randint(int(150 * _SCALE), int(260 * _SCALE))
     write(
         "part",
         {
@@ -148,7 +153,7 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
          "p_size": i32, "p_retailprice": f64},
     )
     # SKEWED order distribution: a few hot customers hold many orders
-    n_ord = rng.randint(1200, 1800)
+    n_ord = rng.randint(int(1200 * _SCALE), int(1800 * _SCALE))
     hot_custs = rng.sample(range(n_cust), 3)
     custs = [
         rng.choice(hot_custs) if rng.random() < 0.25 else rng.randrange(n_cust)
@@ -206,7 +211,7 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
          "l_linestatus": s, "l_shipdate": ts_us},
     )
     # events: unique event_id, skewed users, bursty sessions
-    n_ev = rng.randint(800, 1400)
+    n_ev = rng.randint(int(800 * _SCALE), int(1400 * _SCALE))
     t = dt.datetime(2024, 1, 1)
     ev_ts = []
     for _ in range(n_ev):
@@ -232,7 +237,7 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
     )
     # documents: unique doc_id; ~6% exact text duplicates, ~12% near
     # duplicates (1–2 token edits), rest fresh word-salad
-    n_doc = rng.randint(400, 650)
+    n_doc = rng.randint(int(400 * _SCALE), int(650 * _SCALE))
     texts: list[str] = []
     for _ in range(n_doc):
         r = rng.random()
@@ -265,7 +270,7 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
     centers = [
         [rng.gauss(0, 1) for _ in range(_EMB_DIM)] for _ in range(10)
     ]
-    n_vec = rng.randint(380, 600)
+    n_vec = rng.randint(int(380 * _SCALE), int(600 * _SCALE))
     vecs, labels = [], []
     for _ in range(n_vec):
         if vecs and rng.random() < 0.08:
