@@ -101,10 +101,22 @@ def _split_top(s: str) -> list[str]:
     permanently — e.g. a ``CASE WHEN (a < b)`` partition key merged
     every subsequent key into one tuple, misreporting the audit.
     r10 VERDICT: the identifier-char heuristic was tightened to the
-    type-keyword list above.)
+    type-keyword list above. r11 ADVICE: an unspaced comparison whose
+    LEFT side is literally a bare type keyword — ``map<5`` with no
+    ``#id`` suffix — would still have opened a group on the left-word
+    check alone, so the right side must also look like a type: the
+    char after ``<`` must start an identifier (``array<int>``,
+    ``struct<a:int>``), which a numeric/expression right side never
+    does.)
     """
 
     def _is_type_angle(i: int) -> bool:
+        # right side must start a type identifier (r11 ADVICE): rules
+        # out unspaced comparisons like "map<5" whose left word happens
+        # to equal a type keyword.
+        nxt = s[i + 1] if i + 1 < len(s) else ""
+        if not (nxt.isalpha() or nxt == "_"):
+            return False
         for kw in _ANGLE_TYPES:
             j = i - len(kw)
             if (

@@ -163,6 +163,81 @@ _MODULES = (
 # q_compact_corpus + the 49 r9-greens minus flagship slots, recompute
 # with the ledger). After a green r11: max staleness 3 on exactly one
 # query (q_compact_corpus), ≤2 on the other 148, never-green empty.
+# r12 rotation (r11 draft, executed) — EXECUTED below as _R12_FRONT;
+# the fronted sets were recomputed with tests/coverage_ledger.py at
+# rotation time, not taken from the draft prose. CORRECTNESS_r11 came
+# back 50/50 green (window == _R11_FRONT exactly), so the ledger reads
+# {r8: 1, r9: 49, r10: 49, r11: 50}. Candidates: q_compact_corpus (the
+# declared staleness-3 query, fronts FIRST) + 49 r9-greens + flagship
+# q_agg_group = 51 for 50 slots, so exactly ONE r9-green is deferred
+# to staleness 3 in its place — q_reclose_chain, the LAST of the 49 in
+# registration order (the same tie-break r10 and r11 used).
+# q_reclose_chain stays pytest-covered in the interim by
+# tests/test_reclose_random.py and the randomized crash-injection
+# sweep (tests/test_maintenance_crash_random.py), and
+# fronts FIRST in r13 (r13 draft: q_reclose_chain + the 49 r10-greens
+# minus flagship slots, recompute with the ledger). After a green r12:
+# max staleness 3 on exactly one query (q_reclose_chain), ≤2 on the
+# other 148, never-green empty.
+_R12_FRONT = (
+    # the declared staleness-3 query — fronts FIRST per r11 policy note
+    "q_compact_corpus",
+    # 48 of the 49 r9-greens, registration order (ledger-computed);
+    # q_reclose_chain (the 49th) deferred to front FIRST in r13
+    "q_hash_split",
+    "q_neardup_embed_lsh",
+    "q_neardup_minhash",
+    "q_win_dedup_latest",
+    "q_win_rank",
+    "q_win_ntile",
+    "q_win_lag",
+    "q_win_running",
+    "q_win_range",
+    "q_win_firstlast",
+    "q_win_topk_group",
+    "q_join_asof",
+    "q_stream_join",
+    "q_udtf_rle",
+    "q_join_bucketed",
+    "q_orc_roundtrip",
+    "q_heavy_hitters",
+    "q_chunk_docs",
+    "q_domain_mix",
+    "q_dup_spans",
+    "q_strip_dup_spans",
+    "q_snapshot_diff",
+    "q_sfid18",
+    "q_incremental_agg",
+    "q_funnel",
+    "q_cohort_retention",
+    "q_twa",
+    "q_attribution",
+    "q_mad_outliers",
+    "q_gap_fill",
+    "q_asof_forward",
+    "q_triangles",
+    "q_funnel_horizon",
+    "q_dedup_keep_best",
+    "q_trend",
+    "q_pareto",
+    "q_rolling_distinct",
+    "q_inverted_index",
+    "q_bm25",
+    "q_pii_scrub",
+    "q_unigram_logprob",
+    "q_weighted_sample",
+    "q_pmi",
+    "q_neardup_incremental",
+    "q_simsearch_ivf",
+    "q_simsearch_pq",
+    "q_audio_embed",
+    "q_video_embed",
+    # flagship — always in-window
+    "q_agg_group",
+)
+# r11 rotation (VERDICT r10 #1) — executed, 50/50 green in
+# CORRECTNESS_r11 (window == this tuple exactly). Kept for the ledger.
+# Superseded by _R12_FRONT above.
 _R11_FRONT = (
     # the declared staleness-3 query — fronts FIRST per VERDICT r10 #1
     "q_incremental_extract",
@@ -544,10 +619,10 @@ def _ensure_loaded() -> None:
 
 def registry() -> dict[str, Query]:
     _ensure_loaded()
-    unknown = [n for n in _R11_FRONT if n not in _REGISTRY]
+    unknown = [n for n in _R12_FRONT if n not in _REGISTRY]
     if unknown:  # typo guard: a misspelled front entry would silently
-        raise ValueError(f"_R11_FRONT names not registered: {unknown}")
-    front = {n: _REGISTRY[n] for n in _R11_FRONT}
+        raise ValueError(f"_R12_FRONT names not registered: {unknown}")
+    front = {n: _REGISTRY[n] for n in _R12_FRONT}
     rest = {n: q for n, q in _REGISTRY.items() if n not in front}
     return {**front, **rest}
 

@@ -1,0 +1,100 @@
+"""bench.py CPU-attribution ledger (r12): the ambient-contention
+measure splits total busy jiffies into THIS process tree vs everything
+else. These tests pin the ledger's two contracts without needing an
+idle box:
+
+1. CPU burned by this process (and by a spawned child, live or
+   reaped) lands in the TREE side of the ledger — so a bench sweep's
+   own local[32] work can never masquerade as ambient load.
+2. The tree side never exceeds the total busy side (ambient =
+   busy - tree is non-negative by clamping, but the raw inequality
+   should hold up to jiffy-sampling slop).
+
+Ambient itself is NOT asserted ≈0 — other processes on a shared box
+are exactly what the metric exists to see.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+_HZ = os.sysconf("SC_CLK_TCK")
+
+
+def _burn(seconds: float) -> None:
+    t0 = time.process_time()
+    x = 0
+    while time.process_time() - t0 < seconds:
+        x += 1
+
+
+def test_own_cpu_attributed_to_tree():
+    busy0, tree0 = bench._cpu_snapshot()
+    _burn(0.5)
+    busy1, tree1 = bench._cpu_snapshot()
+    tree_s = (tree1 - tree0) / _HZ
+    # jiffy granularity: 0.5 s of burn is ≥ ~0.35 s of tree jiffies
+    assert tree_s >= 0.35, f"own 0.5s burn only {tree_s:.2f}s in tree"
+    assert busy1 - busy0 >= tree1 - tree0 - 2, "tree exceeded total busy"
+
+
+def test_reaped_child_cpu_attributed_to_tree():
+    # a child that burns CPU and EXITS before the end snapshot: its
+    # time must reach the tree via the parent's cutime/cstime fold
+    busy0, tree0 = bench._cpu_snapshot()
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import time\n"
+            "t0 = time.process_time()\n"
+            "x = 0\n"
+            "while time.process_time() - t0 < 0.5:\n"
+            "    x += 1\n",
+        ],
+        check=True,
+    )
+    busy1, tree1 = bench._cpu_snapshot()
+    tree_s = (tree1 - tree0) / _HZ
+    assert tree_s >= 0.35, (
+        f"reaped child's 0.5s burn only {tree_s:.2f}s in tree — "
+        f"cutime/cstime fold broken"
+    )
+
+
+def test_live_child_cpu_attributed_to_tree():
+    # a child still RUNNING at the end snapshot: its time must reach
+    # the tree via the /proc descendant walk, not cutime
+    busy0, tree0 = bench._cpu_snapshot()
+    p = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import time\n"
+            "t0 = time.process_time()\n"
+            "x = 0\n"
+            "while time.process_time() - t0 < 1.0:\n"
+            "    x += 1\n"
+            "time.sleep(5)\n",
+        ],
+    )
+    try:
+        time.sleep(1.6)  # let it finish the burn, still alive in sleep
+        busy1, tree1 = bench._cpu_snapshot()
+        tree_s = (tree1 - tree0) / _HZ
+        assert tree_s >= 0.7, (
+            f"live child's 1.0s burn only {tree_s:.2f}s in tree — "
+            f"descendant walk broken"
+        )
+    finally:
+        p.kill()
+        p.wait()

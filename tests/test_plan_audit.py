@@ -154,6 +154,39 @@ def audits(spark):
 
 
 @pytest.mark.parametrize("name", _ALL)
+def test_exchange_counts_pinned(name, audits):
+    """(r12) Golden exchange-count ledger: a silent extra shuffle (or
+    a broadcast degrading to a shuffled join) changes these counts and
+    fails HERE, before it has to be discovered as a bench regression
+    or a 100 TB wall-clock surprise. A deliberate plan change is
+    recorded with ``python tests/plan_golden_regen.py`` — commit the
+    one-line-per-query diff as the review artifact."""
+    from .plan_golden import GOLDEN
+
+    assert name in GOLDEN, (
+        f"[{name}] not in tests/plan_golden.py — new registration? "
+        f"run tests/plan_golden_regen.py"
+    )
+    a = audits[name]
+    exp_sh, exp_bc = GOLDEN[name]
+    assert (a.shuffles, a.broadcasts) == (exp_sh, exp_bc), (
+        f"[{name}] plan shape moved: (shuffles, broadcasts) = "
+        f"({a.shuffles}, {a.broadcasts}), golden ({exp_sh}, {exp_bc}). "
+        f"If deliberate, rerun tests/plan_golden_regen.py and commit "
+        f"the diff; if not, an edit added/removed an Exchange:\n{a.plan}"
+    )
+
+
+def test_golden_ledger_not_stale():
+    """Every golden entry must still be a registered query — a rename
+    or deregistration must clean up its ledger row."""
+    from .plan_golden import GOLDEN
+
+    stale = sorted(set(GOLDEN) - set(_REG))
+    assert not stale, f"plan_golden.py entries not registered: {stale}"
+
+
+@pytest.mark.parametrize("name", _ALL)
 def test_no_cartesian_product(name, audits):
     a = audits[name]
     assert a.cartesian == 0, (
@@ -298,4 +331,17 @@ def test_split_top_angle_only_after_type_keywords():
     assert _split_top("cast(x#1 as ARRAY<MAP<string,int>>), y#2") == [
         "cast(x#1 as ARRAY<MAP<string,int>>)",
         "y#2",
+    ]
+    # r11 ADVICE residual edge: a bare identifier EQUAL to a type
+    # keyword followed by an unspaced comparison ("map<5" — no #id
+    # suffix) must not open a phantom group; the right side of a true
+    # type annotation always starts an identifier, a comparison's
+    # numeric right side never does
+    assert _split_top("(map<5), a#1, (b#2>1)") == ["(map<5)", "a#1", "(b#2>1)"]
+    assert _split_top("(array<2), x#1") == ["(array<2)", "x#1"]
+    # genuine annotations still nest: right side starts with a letter
+    # or underscore (struct field names)
+    assert _split_top("cast(s#1 as struct<_f:int,g:map<string,int>>), t#2") == [
+        "cast(s#1 as struct<_f:int,g:map<string,int>>)",
+        "t#2",
     ]
