@@ -46,6 +46,14 @@ _SEED = int(os.environ.get("SPARK_GRAFT_DATA_SEED", "9173"))
 # chains, hotter blocks, larger (day,type) groups — the caps and
 # tripwires see different pressure than at 1×.
 _SCALE = float(os.environ.get("SPARK_GRAFT_DATA_SCALE", "1"))
+# (r12) Adversarial-skew knob: 0 (default) keeps the moderate planted
+# skew below; >0 concentrates every skewed dimension onto a SINGLE hot
+# key at this probability (orders→one customer, events→one user,
+# documents→one source, embeddings→one cluster). 0.9 is the
+# adversarial sweep setting: ~90% of each table funnels through one
+# key, the regime where salting paths, per-key caps, and AQE skew
+# handling either hold or break. DuckDB stays the oracle either way.
+_SKEW = float(os.environ.get("SPARK_GRAFT_DATA_SKEW", "0"))
 
 _REG = registry()
 # q_quantile_sketch's oracle hard-codes a 0.05 rank-error tolerance —
@@ -57,10 +65,28 @@ _REG = registry()
 # below instead of the fixed-tolerance compare. Everything else runs
 # driver-strict.
 _GRANULARITY_SENSITIVE = {"q_quantile_sketch"}
+# q_semdedup is recall-limited BY DESIGN (SemDeDup dedups within
+# k-means clusters only; the cluster-straddle caveat is pinned in
+# tests/test_semdedup.py and stated in the query docstring). The
+# driver fixture and moderate random draws keep every ≥θ pair
+# within-cluster, so the strict differential holds there — but an
+# adversarial draw can make it UNACHIEVABLE for the algorithm itself:
+# at SPARK_GRAFT_DATA_SKEW=0.99, ~99% of vectors form ONE natural
+# cluster that k=8 k-means must split, and pairs straddling the split
+# are invisible to any within-cluster scan (measured: recall 0.901,
+# precision 1.0, seed 9173). On random data it gets the
+# algorithm-aware assertion below: PRECISION must stay exact (every
+# emitted pair is a true ≥θ pair with the oracle's cosine), recall
+# must be 1.0 in the moderate regime and ≥0.8 under adversarial skew
+# (an implementation regression — dropped clusters, broken blocking —
+# craters recall far below the split-boundary loss).
+_RECALL_SENSITIVE = {"q_semdedup"}
 _SQL_NAMES = sorted(
     n
     for n, q in _REG.items()
-    if q.oracle is not None and n not in _GRANULARITY_SENSITIVE
+    if q.oracle is not None
+    and n not in _GRANULARITY_SENSITIVE
+    and n not in _RECALL_SENSITIVE
 )
 _ROWS_NAMES = sorted(n for n, q in _REG.items() if q.oracle is None)
 
@@ -77,6 +103,15 @@ _PTYPES = ["ECONOMY", "PROMO", "STANDARD", "SMALL", "LARGE"]
 _PNAMES = ["cold", "small", "large", "hot", "dim"]
 _PNOUNS = ["widget", "bolt", "gear", "cog", "tube"]
 _EMB_DIM = 64
+
+
+def _ev_user(rng: random.Random) -> int:
+    """Event user draw: moderate planted skew by default (3 hot users
+    at 40%), one adversarially hot user (id 0) at rate _SKEW when the
+    skew knob is set."""
+    if _SKEW > 0 and rng.random() < _SKEW:
+        return 0
+    return rng.randrange(3) if rng.random() < 0.4 else rng.randrange(15)
 
 
 def _ts(rng, y0=1996, y1=2002):
@@ -153,10 +188,12 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
          "p_size": i32, "p_retailprice": f64},
     )
     # SKEWED order distribution: a few hot customers hold many orders
+    # (or, adversarially, ONE customer holds _SKEW of all orders)
     n_ord = rng.randint(int(1200 * _SCALE), int(1800 * _SCALE))
-    hot_custs = rng.sample(range(n_cust), 3)
+    hot_custs = rng.sample(range(n_cust), 1 if _SKEW > 0 else 3)
+    hot_p = _SKEW if _SKEW > 0 else 0.25
     custs = [
-        rng.choice(hot_custs) if rng.random() < 0.25 else rng.randrange(n_cust)
+        rng.choice(hot_custs) if rng.random() < hot_p else rng.randrange(n_cust)
         for _ in range(n_ord)
     ]
     write(
@@ -222,10 +259,7 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
         {
             "event_id": list(range(n_ev)),
             "ts": ev_ts,
-            "user_id": [
-                rng.randrange(3) if rng.random() < 0.4 else rng.randrange(15)
-                for _ in range(n_ev)
-            ],
+            "user_id": [_ev_user(rng) for _ in range(n_ev)],
             "event_type": [rng.choice(_ETYPES) for _ in range(n_ev)],
             "value": [round(rng.uniform(0, 200), 2) for _ in range(n_ev)],
             "props": [
@@ -260,7 +294,10 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
             "doc_id": list(range(n_doc)),
             "text": texts,
             "lang": [rng.choice(["en", "es", "de", "fr", "zh"]) for _ in range(n_doc)],
-            "source": [f"src{rng.randrange(20)}" for _ in range(n_doc)],
+            "source": [
+                f"src{0 if _SKEW > 0 and rng.random() < _SKEW else rng.randrange(20)}"
+                for _ in range(n_doc)
+            ],
             "n_chars": [rng.randint(47, 558) for _ in range(n_doc)],
         },
         {"doc_id": i64, "text": s, "lang": s, "source": s, "n_chars": i64},
@@ -278,7 +315,10 @@ def _gen_dataset(rng: random.Random, out_dir: str) -> None:
             v = [x + rng.gauss(0, 0.002) for x in vecs[src]]
             labels.append(labels[src])
         else:
-            lab = rng.randrange(10)
+            if _SKEW > 0 and rng.random() < _SKEW:
+                lab = 0  # adversarially hot cluster
+            else:
+                lab = rng.randrange(10)
             v = [c + rng.gauss(0, 0.35) for c in centers[lab]]
             labels.append(lab)
         norm = math.sqrt(sum(x * x for x in v)) or 1.0
@@ -377,3 +417,38 @@ def test_quantile_sketch_granularity_aware(spark, rnd_dir):
                 f"vs q={q} exceeds granularity-aware bound {bound:.3f} "
                 f"(reproduce with SPARK_GRAFT_DATA_SEED={_SEED})"
             )
+
+
+def test_semdedup_precision_and_recall_aware(spark, duck_rnd, rnd_dir):
+    """q_semdedup on random data: algorithm-aware differential (see
+    _RECALL_SENSITIVE above). Precision is held EXACT — every pair
+    Spark emits must appear in the brute oracle's ≥θ pair set with the
+    identical canonical rendering (same ids, same quantized cosine).
+    Recall is held to what SemDeDup's within-cluster scan can achieve
+    on the draw: 1.0 in the moderate regime (no natural cluster is
+    split across k-means buckets at these densities — the same claim
+    the strict fixture differential proves), ≥0.8 under adversarial
+    single-cluster skew, where the split-boundary loss is inherent to
+    the published algorithm, not to this implementation."""
+    from .differential import _canon_pdf, canon_hash
+
+    q = _REG["q_semdedup"]
+    spark_pdf = q.fn(spark, rnd_dir).toPandas()
+    duck_pdf = duck_rnd.sql(q.oracle).df()
+    _, s_rows = canon_hash(_canon_pdf(spark_pdf, "semdedup/spark"))
+    _, d_rows = canon_hash(_canon_pdf(duck_pdf, "semdedup/duck"))
+    d_set = set(d_rows)
+    assert len(d_rows) == len(d_set), "oracle emitted duplicate pairs"
+    false_pos = [r for r in s_rows if r not in d_set]
+    assert not false_pos, (
+        f"precision break: {len(false_pos)} Spark pairs not in the "
+        f"brute oracle set, first: {false_pos[:2]} "
+        f"(reproduce with SPARK_GRAFT_DATA_SEED={_SEED})"
+    )
+    recall = len(s_rows) / len(d_rows) if d_rows else 1.0
+    floor = 0.8 if _SKEW > 0 else 1.0
+    assert recall >= floor, (
+        f"recall {recall:.3f} below floor {floor} "
+        f"({len(s_rows)}/{len(d_rows)} pairs; skew={_SKEW}; "
+        f"reproduce with SPARK_GRAFT_DATA_SEED={_SEED})"
+    )
