@@ -63,6 +63,29 @@ def main() -> None:
     # the window the driver graded LAST round, not a draft of the next.
     print(f"front-50 window (current _RN_FRONT — the window as pinned now; "
           f"graded at the next driver run): {front}")
+    # (r12) Mechanized NEXT-rotation draft — the policy every rotation
+    # since r10 has hand-applied, now computed: assuming the pinned
+    # window comes back green next round, the following window is
+    # [never-green registrations] + [stalest query(s)] + [(next-oldest
+    # greens) in registration order] + flagship, truncated to 50 with
+    # the flagship always kept and the LAST overflow candidate (in
+    # registration order) deferred. EXECUTE a rotation by recomputing
+    # with this ledger at rotation time, never by copying round-old
+    # draft prose.
+    flagship = "q_agg_group"
+    assumed = dict(green)
+    for q in front:
+        assumed[q] = max(hist, default=0) + 1  # pinned window goes green
+    candidates = [q for q in reg if q != flagship]
+    candidates.sort(key=lambda q: (assumed.get(q, -1), reg.index(q)))
+    draft = candidates[:49]
+    deferred = candidates[49] if len(candidates) > 49 else None
+    # order the draft itself: stalest first, registration order within
+    print(f"next-rotation draft (IF the pinned window greens): "
+          f"{draft + [flagship]}")
+    if deferred is not None:
+        print(f"next-rotation deferred (fronts FIRST the round after): "
+              f"{deferred}")
     print("per-query latest green (registration order):")
     for q in reg:
         print(f"  {q}: r{green[q]}" if q in green else f"  {q}: —")
