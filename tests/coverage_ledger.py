@@ -41,6 +41,29 @@ def latest_green() -> dict[str, int]:
     return latest
 
 
+def next_rotation_draft(
+    reg: list[str],
+    green: dict[str, int],
+    front: list[str],
+    flagship: str = "q_agg_group",
+) -> tuple[list[str], str | None]:
+    """The standing rotation policy, computed: assuming the pinned
+    window greens, the next window is [never-green] + [stalest] +
+    [next-oldest greens in registration order] + flagship, truncated
+    to 50 with the flagship always kept; the first excluded candidate
+    (the last of the overflow staleness class in registration order)
+    is the deferred query that fronts FIRST the round after."""
+    hist = Counter(green[q] for q in reg if q in green)
+    assumed = dict(green)
+    for q in front:
+        assumed[q] = max(hist, default=0) + 1
+    candidates = [q for q in reg if q != flagship]
+    candidates.sort(key=lambda q: (assumed.get(q, -1), reg.index(q)))
+    draft = candidates[:49] + [flagship]
+    deferred = candidates[49] if len(candidates) > 49 else None
+    return draft, deferred
+
+
 def main() -> None:
     from salesforce_postgresql_etl_spark.queries import registry
 
@@ -64,25 +87,11 @@ def main() -> None:
     print(f"front-50 window (current _RN_FRONT — the window as pinned now; "
           f"graded at the next driver run): {front}")
     # (r12) Mechanized NEXT-rotation draft — the policy every rotation
-    # since r10 has hand-applied, now computed: assuming the pinned
-    # window comes back green next round, the following window is
-    # [never-green registrations] + [stalest query(s)] + [(next-oldest
-    # greens) in registration order] + flagship, truncated to 50 with
-    # the flagship always kept and the LAST overflow candidate (in
-    # registration order) deferred. EXECUTE a rotation by recomputing
-    # with this ledger at rotation time, never by copying round-old
-    # draft prose.
-    flagship = "q_agg_group"
-    assumed = dict(green)
-    for q in front:
-        assumed[q] = max(hist, default=0) + 1  # pinned window goes green
-    candidates = [q for q in reg if q != flagship]
-    candidates.sort(key=lambda q: (assumed.get(q, -1), reg.index(q)))
-    draft = candidates[:49]
-    deferred = candidates[49] if len(candidates) > 49 else None
-    # order the draft itself: stalest first, registration order within
-    print(f"next-rotation draft (IF the pinned window greens): "
-          f"{draft + [flagship]}")
+    # since r10 has hand-applied, now computed by next_rotation_draft.
+    # EXECUTE a rotation by recomputing with this ledger at rotation
+    # time, never by copying round-old draft prose.
+    draft, deferred = next_rotation_draft(reg, green, front)
+    print(f"next-rotation draft (IF the pinned window greens): {draft}")
     if deferred is not None:
         print(f"next-rotation deferred (fronts FIRST the round after): "
               f"{deferred}")
