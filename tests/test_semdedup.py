@@ -187,3 +187,51 @@ def test_auto_k_scales_with_corpus(spark):
     assert want_k == math.isqrt(n) if n >= 64 else want_k == 8
     cents = kmeans_centroids(corpus, k=want_k, iters=1)
     assert cents.count() == want_k
+
+
+def test_unimodal_corpus_recall_vs_lsh_control(spark):
+    """(r12) The adversarial-skew finding, pinned in-suite on a
+    deterministic synthetic: a UNIMODAL cloud (one natural cluster)
+    forced through k=8 trained k-means loses split-straddling pairs
+    (recall < 1), while the sign-plane LSH twin on the SAME corpus
+    finds every brute pair (recall == 1 — its recall is geometry-
+    bound, not cluster-bound). Precision stays exact for both. The
+    full recall(k) curve lives in tests/semdedup_skew_recall_curve.py;
+    the strategy-choice consequence is in SCALE.md r12."""
+    import math
+    import random
+
+    rng = random.Random(42)
+    center = [rng.gauss(0, 1) for _ in range(16)]
+    rows = []
+    for i in range(150):
+        v = [c + rng.gauss(0, 0.15) for c in center]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((i, [x / n for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = {
+        (r[0], r[1])
+        for r in _rows(neardup_embed_pairs(emb, threshold=THETA, strategy="brute"))
+    }
+    assert len(brute) > 100, "fixture must carry many organic >=theta pairs"
+
+    sd = {
+        (r[0], r[1])
+        for r in _rows(semdedup_pairs(emb, threshold=THETA, k=8, iters=4))
+    }
+    assert sd <= brute, "precision break: SemDeDup invented a pair"
+    assert len(sd) < len(brute), (
+        "k=8 on a unimodal cloud must split the natural cluster and "
+        "miss straddling pairs — if this starts passing recall 1.0, "
+        "the candidate pruning is no longer genuine"
+    )
+
+    lsh = {
+        (r[0], r[1])
+        for r in _rows(neardup_embed_pairs(emb, threshold=THETA, strategy="lsh"))
+    }
+    assert lsh == brute, (
+        f"LSH control drifted: {len(lsh)}/{len(brute)} pairs — banding "
+        f"recall should be ~1.0 at these angular gaps"
+    )
