@@ -179,6 +179,82 @@ _MODULES = (
 # minus flagship slots, recompute with the ledger). After a green r12:
 # max staleness 3 on exactly one query (q_reclose_chain), ≤2 on the
 # other 148, never-green empty.
+# r13 rotation (r12 draft + VERDICT r12 #1, executed) — EXECUTED below
+# as _R13_FRONT; the fronted set is EXACTLY the mechanized ledger's
+# draft (tests/coverage_ledger.py next_rotation_draft, pinned by
+# tests/test_rotation_draft.py), not hand-recomputed prose.
+# CORRECTNESS_r12 came back 50/50 green (window == _R12_FRONT exactly),
+# so the ledger reads {r9: 1, r10: 49, r11: 49, r12: 50}. Candidates:
+# q_reclose_chain (the declared staleness-3 query, fronts FIRST) + 49
+# r10-greens + flagship q_agg_group = 51 for 50 slots, so exactly ONE
+# r10-green is deferred to staleness 3 in its place —
+# q_parquet_roundtrip, the LAST of the 49 in registration order (the
+# same tie-break r10/r11/r12 used). q_parquet_roundtrip stays
+# pytest-covered in the interim by tests/test_sources.py (partitioned
+# write→read + static partition-pruning plan assertion) and fronts
+# FIRST in r14 (r14 draft: q_parquet_roundtrip + the 49 r11-greens
+# minus flagship slots, recompute with the ledger). After a green r13:
+# max staleness 3 on exactly one query (q_parquet_roundtrip), ≤2 on
+# the other 148, never-green empty.
+_R13_FRONT = (
+    # the declared staleness-3 query — fronts FIRST per r12 policy note
+    "q_reclose_chain",
+    # 48 of the 49 r10-greens, registration order (ledger-computed);
+    # q_parquet_roundtrip (the 49th) deferred to front FIRST in r14
+    "q_stratified_sample",
+    "q_pack_sequences",
+    "q_token_budget",
+    "q_decontaminate",
+    "q_project",
+    "q_filter_pred",
+    "q_join_inner",
+    "q_dedup_simhash",
+    "q_neardup_ngram",
+    "q_neardup_ngram_lsh",
+    "q_neardup_embed",
+    "q_semdedup",
+    "q_lang_id",
+    "q_quality_score",
+    "q_multimodal_features",
+    "q_fingerprint",
+    "q_dedup_hash",
+    "q_neardup_jaccard",
+    "q_simsearch_topk",
+    "q_text_stats",
+    "q_token_count",
+    "q_ngrams",
+    "q_tfidf",
+    "q_embed_centroid",
+    "q_str_funcs",
+    "q_str_regex",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cond_funcs",
+    "q_casts",
+    "q_json_extract",
+    "q_array_funcs",
+    "q_array_lambda",
+    "q_map_funcs",
+    "q_hash",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_sessionize",
+    "q_dedup_exact",
+    "q_state_running",
+    "q_udf_scalar",
+    "q_pandas_udf",
+    "q_pandas_agg",
+    "q_applyinpandas_normalize",
+    "q_explode",
+    "q_scan_project",
+    "q_csv_roundtrip",
+    "q_json_roundtrip",
+    # flagship — always in-window
+    "q_agg_group",
+)
+# r12 rotation (r11 draft, executed) — executed, 50/50 green in
+# CORRECTNESS_r12 (window == this tuple exactly, judge-verified).
+# Kept for the ledger. Superseded by _R13_FRONT above.
 _R12_FRONT = (
     # the declared staleness-3 query — fronts FIRST per r11 policy note
     "q_compact_corpus",
@@ -619,10 +695,10 @@ def _ensure_loaded() -> None:
 
 def registry() -> dict[str, Query]:
     _ensure_loaded()
-    unknown = [n for n in _R12_FRONT if n not in _REGISTRY]
+    unknown = [n for n in _R13_FRONT if n not in _REGISTRY]
     if unknown:  # typo guard: a misspelled front entry would silently
-        raise ValueError(f"_R12_FRONT names not registered: {unknown}")
-    front = {n: _REGISTRY[n] for n in _R12_FRONT}
+        raise ValueError(f"_R13_FRONT names not registered: {unknown}")
+    front = {n: _REGISTRY[n] for n in _R13_FRONT}
     rest = {n: q for n, q in _REGISTRY.items() if n not in front}
     return {**front, **rest}
 

@@ -80,12 +80,24 @@ def main() -> None:
         stale_set = sorted(q for q in reg if green.get(q) == stalest)
         print(f"stalest (r{stalest}) queries: {stale_set}")
     front = reg[:50]
-    # Label fix (VERDICT r10 "what's wrong" #3): this prints whatever
+    # Label fix (VERDICT r12 "what's wrong" #3): this prints whatever
     # _RN_FRONT the registry CURRENTLY pins — i.e. the last-executed
-    # rotation. Until the next rotation is executed mid-round, that is
-    # the window the driver graded LAST round, not a draft of the next.
+    # rotation. Say explicitly whether that window's CORRECTNESS has
+    # already landed (window == the set of queries in the newest
+    # CORRECTNESS file) or is still pending the next driver run.
+    newest = max(green.values(), default=0)
+    newest_file = os.path.join(REPO, f"CORRECTNESS_r{newest:02d}.json")
+    graded = (
+        os.path.exists(newest_file)
+        and set(json.load(open(newest_file))) == set(front)
+    )
+    status = (
+        f"graded in CORRECTNESS_r{newest:02d}"
+        if graded
+        else "graded at the next driver run"
+    )
     print(f"front-50 window (current _RN_FRONT — the window as pinned now; "
-          f"graded at the next driver run): {front}")
+          f"{status}): {front}")
     # (r12) Mechanized NEXT-rotation draft — the policy every rotation
     # since r10 has hand-applied, now computed by next_rotation_draft.
     # EXECUTE a rotation by recomputing with this ledger at rotation

@@ -9,8 +9,8 @@ round-over-round rotations hand-applied from r10 on, now pinned:
   deferred query is the LAST of the overflow class in registration
   order and is never in the draft;
 - against the live artifacts, the draft for the CURRENT state matches
-  what the executed _R12_FRONT comment promised for r13:
-  q_reclose_chain fronts first.
+  what the executed _RN_FRONT comment promised for the next round
+  (after the r13 rotation: q_parquet_roundtrip fronts first in r14).
 """
 
 from __future__ import annotations
@@ -65,14 +65,18 @@ def test_toy_staleness_dominates_and_tiebreak_is_registration_order():
         assert assumed[q] >= assumed[deferred]
 
 
-def test_live_draft_matches_r12_promise():
+def test_live_draft_matches_rotation_promise():
     from salesforce_postgresql_etl_spark.queries import registry
 
     reg = list(registry())
     green = latest_green()
     draft, deferred = next_rotation_draft(reg, green, reg[:50])
     assert len(draft) == 50 and draft[-1] == "q_agg_group"
-    # the executed r12 rotation's own comment promises q_reclose_chain
-    # fronts FIRST in r13
-    assert draft[0] == "q_reclose_chain"
+    # the executed r13 rotation's own comment promises
+    # q_parquet_roundtrip (the query it deferred by name) fronts FIRST
+    # in r14
+    assert draft[0] == "q_parquet_roundtrip"
     assert deferred not in draft
+    # the current pinned window carries the r12-declared staleness-3
+    # query in slot 1
+    assert reg[0] == "q_reclose_chain"
