@@ -356,11 +356,22 @@ def _cpu_snapshot() -> tuple[int, int]:
     child's time moves into its parent's cutime at reaping, so the
     end-minus-start delta stays consistent). Kernel threads and other
     users' processes are never in the tree, which is the point.
+
+    Caveats (r13, r12 ADVICE): steal jiffies are EXCLUDED from busy —
+    on a VM, hypervisor steal is time nobody on this box ran, and
+    counting it would overstate ambient load. Kernel-thread CPU (e.g.
+    kworkers flushing THIS bench's parquet writes) still lands on the
+    ambient side — unattributable from /proc, so the error direction
+    is conservative (over-flags contended, never hides it).
     """
     with open("/proc/stat") as fh:
         parts = fh.readline().split()
     vals = [int(x) for x in parts[1:]]
-    busy = sum(vals[:8]) - vals[3] - vals[4]  # minus idle, iowait
+    # user+nice+system+irq+softirq: minus idle (3), iowait (4), and
+    # steal (7, when present — older kernels omit trailing fields)
+    busy = sum(vals[:8]) - vals[3] - vals[4]
+    if len(vals) > 7:
+        busy -= vals[7]
     kids: dict[int, list[int]] = {}
     cpu: dict[int, int] = {}
     for ent in os.listdir("/proc"):
@@ -512,10 +523,23 @@ def main() -> None:
     # _cpu_snapshot's docstring for why loadavg can't do this job.
     _busy0, _tree0 = _cpu_snapshot()
     _sweep_t0 = time.monotonic()
+    _hz = os.sysconf("SC_CLK_TCK")
     calibration_s = round(min(calibrate() for _ in range(3)), 4)
 
+    # (r13, VERDICT r12 what's-wrong #1) PER-QUERY ambient brackets:
+    # the sweep-average ambient (0.41 cores in r12) diluted a burst
+    # that hit a 6-second query to invisibility, forcing cross-round
+    # co-moving-queries inference. Bracketing each entry (warmup + the
+    # 3 timed runs) with its own _cpu_snapshot pair makes every future
+    # mover carry its own contamination label: ambient_cores_per_query
+    # in the file artifact, and any entry whose bracket shows >1.0
+    # ambient cores is listed in contaminated_queries.
     times: dict[str, float] = {}
+    per_q_ambient: dict[str, float] = {}
+    contaminated: list[str] = []
     for name in BENCH_QUERIES + sorted(_extra_benches()):
+        _qb0, _qt0 = _cpu_snapshot()
+        _q_t0 = time.monotonic()
         try:
             # One untimed JIT warmup run (see module docstring). A
             # second warmup was tried and bought nothing: run-to-run
@@ -530,6 +554,12 @@ def main() -> None:
             # Drop MEMORY_AND_DISK residue (LSH band rows, IVF inputs)
             # so one entry's cache never taxes the next entry's runs.
             spark.catalog.clearCache()
+            _q_el = max(time.monotonic() - _q_t0, 1e-6)
+            _qb1, _qt1 = _cpu_snapshot()
+            _amb = max(0, (_qb1 - _qb0) - (_qt1 - _qt0)) / _hz / _q_el
+            per_q_ambient[name] = round(_amb, 2)
+            if _amb > 1.0:
+                contaminated.append(name)
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
     # (r7) A second calibration AFTER the sweep: the r6→r7 comparison
@@ -548,7 +578,6 @@ def main() -> None:
     # the gate, yet the flagship still ran 1.96 s vs ~1.5 idle).
     _busy1, _tree1 = _cpu_snapshot()
     _elapsed = max(time.monotonic() - _sweep_t0, 1e-6)
-    _hz = os.sysconf("SC_CLK_TCK")
     ambient_cores = max(0, (_busy1 - _busy0) - (_tree1 - _tree0)) / _hz / _elapsed
     ambient_cores = round(ambient_cores, 2)
     if ambient_cores > 1.0 and not contended:
@@ -582,6 +611,8 @@ def main() -> None:
             "loadavg_1m_start": round(loadavg_start, 2),
             "loadavg_1m_end": round(os.getloadavg()[0], 2),
             "ambient_cpu_cores_avg": ambient_cores,
+            "ambient_cores_per_query": per_q_ambient,
+            "contaminated_queries": contaminated,
             "contended": contended,
             "loadavg_gate": gate,
             "loadavg_gate_waited_s": waited,
@@ -603,6 +634,9 @@ def main() -> None:
             "n_queries": len(times),
             "cal_mid_s": round(cal_mid, 3),
             "ambient_cores": ambient_cores,
+            # per-query values live in BENCH_LOCAL_r{N}.json (stdout is
+            # byte-budgeted); the flag list is normally [] and short.
+            "contaminated_queries": contaminated,
             "contended": contended,
         },
         separators=(",", ":"),

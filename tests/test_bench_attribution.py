@@ -84,17 +84,29 @@ def test_live_child_cpu_attributed_to_tree():
             "x = 0\n"
             "while time.process_time() - t0 < 1.0:\n"
             "    x += 1\n"
-            "time.sleep(5)\n",
+            "time.sleep(30)\n",
         ],
     )
     try:
-        time.sleep(1.6)  # let it finish the burn, still alive in sleep
-        busy1, tree1 = bench._cpu_snapshot()
-        tree_s = (tree1 - tree0) / _HZ
+        # (r13, r12 ADVICE) poll until the tree delta reaches the
+        # threshold instead of a fixed 1.6 s wall sleep: on a contended
+        # box the child may be descheduled and a fixed sleep flakes.
+        # The child burns 1.0 s of CPU then sleeps 30 s, so it stays
+        # alive (testing the /proc descendant walk, not cutime) for
+        # any realistic poll duration.
+        deadline = time.monotonic() + 20.0
+        tree_s = 0.0
+        while time.monotonic() < deadline:
+            _, tree1 = bench._cpu_snapshot()
+            tree_s = (tree1 - tree0) / _HZ
+            if tree_s >= 0.7:
+                break
+            time.sleep(0.2)
         assert tree_s >= 0.7, (
-            f"live child's 1.0s burn only {tree_s:.2f}s in tree — "
-            f"descendant walk broken"
+            f"live child's 1.0s burn only {tree_s:.2f}s in tree after "
+            f"20s — descendant walk broken"
         )
+        assert p.poll() is None, "child exited early — cutime, not walk"
     finally:
         p.kill()
         p.wait()

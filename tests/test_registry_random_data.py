@@ -461,9 +461,17 @@ def test_precision_exact_recall_aware(name, spark, duck_rnd, rnd_dir):
         f"in the brute oracle set, first: {false_pos[:2]} "
         f"(reproduce with SPARK_GRAFT_DATA_SEED={_SEED})"
     )
+    # (r13, r12 ADVICE) duplicate Spark-emitted pairs would inflate
+    # len(s_rows)/len(d_rows) and are invisible to the precision check
+    # (each dup IS in d_set) — require uniqueness like the oracle side,
+    # and compute recall over the distinct intersection.
+    assert len(s_rows) == len(set(s_rows)), (
+        f"[{name}] Spark emitted duplicate pairs "
+        f"(reproduce with SPARK_GRAFT_DATA_SEED={_SEED})"
+    )
     moderate, adversarial = _RECALL_SENSITIVE[name]
     floor = adversarial if _SKEW > 0 else moderate
-    recall = len(s_rows) / len(d_rows) if d_rows else 1.0
+    recall = len(set(s_rows) & d_set) / len(d_set) if d_rows else 1.0
     assert recall >= floor, (
         f"[{name}] recall {recall:.6f} below floor {floor} "
         f"({len(s_rows)}/{len(d_rows)} pairs; skew={_SKEW}; "
