@@ -110,3 +110,53 @@ def test_live_child_cpu_attributed_to_tree():
     finally:
         p.kill()
         p.wait()
+
+
+def test_orphan_cpu_lands_on_ambient_side():
+    """End-to-end for the r13 per-query contamination labels: CPU
+    burned by a process OUTSIDE this process tree must show up as
+    ambient (busy − tree). A double-fork orphans the burner (it is
+    reparented to init, so the /proc descendant walk from this pid
+    can never reach it) — the in-test stand-in for 'another job on
+    the driver box'. The end snapshot is taken only after polling the
+    orphan's own /proc stat shows ≥1.0 s of accumulated CPU, so the
+    assertion is on absolute jiffies, not on racy wall-clock rates."""
+    r_fd, w_fd = os.pipe()
+    pid = os.fork()
+    if pid == 0:  # child: fork the burner grandchild, then exit
+        os.close(r_fd)
+        gpid = os.fork()
+        if gpid == 0:  # grandchild: report pid, burn 1.5s CPU, exit
+            os.write(w_fd, str(os.getpid()).encode())
+            os.close(w_fd)
+            t0 = time.process_time()
+            x = 0
+            while time.process_time() - t0 < 1.5:
+                x += 1
+            os._exit(0)
+        os._exit(0)
+    os.close(w_fd)
+    busy0, tree0 = bench._cpu_snapshot()
+    os.waitpid(pid, 0)  # reap the middle child → grandchild is orphaned
+    orphan = int(os.read(r_fd, 32) or b"0")
+    os.close(r_fd)
+    assert orphan > 0, "orphan pid never reported"
+
+    def orphan_cpu() -> float:
+        try:
+            with open(f"/proc/{orphan}/stat") as fh:
+                f = fh.read().rsplit(")", 1)[1].split()
+            return (int(f[11]) + int(f[12])) / _HZ
+        except OSError:  # orphan exited — it burned the full 1.5s
+            return 1.5
+
+    deadline = time.monotonic() + 30.0
+    while orphan_cpu() < 1.0 and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert orphan_cpu() >= 1.0, "orphan never accumulated 1.0s CPU"
+    busy1, tree1 = bench._cpu_snapshot()
+    ambient_s = ((busy1 - busy0) - (tree1 - tree0)) / _HZ
+    assert ambient_s >= 0.7, (
+        f"orphan's 1.0s+ burn shows only {ambient_s:.2f}s ambient — "
+        f"outside-tree CPU not attributed to the ambient side"
+    )
