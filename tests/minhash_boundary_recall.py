@@ -65,10 +65,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-P_WORDS = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-P_CHAR5 = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
-SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 41957
-
 THETA_WORDS = 0.95  # == queries.llm.NEARDUP_THRESHOLD
 THETA_CHAR5 = 0.8  # == queries.llm_ext.NGRAM_THETA
 
@@ -156,21 +152,26 @@ def pairset(df):
 
 
 def main() -> None:
+    # argv parsed here, not at import time — test_minhash_boundary.py
+    # imports the corpus builders under pytest's own argv
+    p_words = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    p_char5 = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 41957
     spark = get_spark(
         app_name="minhash-boundary-recall",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
         shuffle_partitions=16,
     )
-    rng = random.Random(SEED)
-    result: dict = {"seed": SEED, "regimes": {}}
+    rng = random.Random(seed)
+    result: dict = {"seed": seed, "regimes": {}}
 
     # ---- words regime: minhash self-join + cross + clusters ----
     docs_w = spark.createDataFrame(
-        words_corpus(P_WORDS), ["doc_id", "text"]
+        words_corpus(p_words), ["doc_id", "text"]
     ).repartition(16)
     truth_w, below_w = exact_truth(spark, docs_w, "words", THETA_WORDS)
     assert below_w == 0, f"words: {below_w} constructed pairs below theta"
-    assert len(truth_w) == P_WORDS
+    assert len(truth_w) == p_words
     q_w = miss_prob(THETA_WORDS, r=8, b=8)
     exp_w = len(truth_w) * q_w
     ub_w = upper_bound(exp_w)
@@ -240,7 +241,7 @@ def main() -> None:
 
     # ---- char5 regime: the ngram_lsh banding (r=4, b=16) ----
     docs_c = spark.createDataFrame(
-        char5_corpus(P_CHAR5, rng), ["doc_id", "text"]
+        char5_corpus(p_char5, rng), ["doc_id", "text"]
     ).repartition(16)
     truth_c, below_c = exact_truth(spark, docs_c, "char5", THETA_CHAR5)
     assert below_c == 0, f"char5: {below_c} constructed pairs below theta"
