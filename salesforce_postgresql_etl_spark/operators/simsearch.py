@@ -37,6 +37,20 @@ _ELEM = "decimal(12,7)"
 _ACC = "decimal(26,14)"
 
 
+def _dot_dec_sum(a: Column, b: Column) -> Column:
+    """Exact decimal dot-product SUM (decimal(26,14)) via the
+    interpreted sequential fold. Decimal addition is exact, so the sum
+    is order-independent; this is the always-correct generic form."""
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double").cast(_ELEM) * y.cast("double").cast(_ELEM)
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(_ACC),
+        lambda acc, x: (acc + x).cast(_ACC),
+    )
+
+
 def _dot_dec(a: Column, b: Column) -> Column:
     """Exact decimal dot product of two float arrays, as double.
 
@@ -45,18 +59,18 @@ def _dot_dec(a: Column, b: Column) -> Column:
     DuckDB (±1 ulp at the target scale on ~half the values) while
     Spark rounds the shortest float repr — the double hop makes both
     engines round the same exact value.
+
+    Measured r13 note: a dim-unrolled codegen chain was tried here and
+    bought NOTHING at steady state (1.88 s → 1.81 s on 20k pair rows)
+    while adding ~0.8 s of analyzer/codegen cost per plan build — the
+    per-element BigDecimal work dominates either way. The fold stays;
+    hot paths avoid decimal per-pair work instead (``topk_cosine``'s
+    margin-proved rough shortlist, ``_exact_cosine``'s double
+    prefilter).
     """
-    prods = F.zip_with(
-        a, b, lambda x, y: x.cast("double").cast(_ELEM) * y.cast("double").cast(_ELEM)
-    )
-    s = F.aggregate(
-        prods,
-        F.lit(0).cast(_ACC),
-        lambda acc, x: (acc + x).cast(_ACC),
-    )
     # prec=18: |dot| ≤ 64 needs only 2 int digits; keeps the ×10¹⁴
     # intermediate under both engines' 38-digit decimal cap.
-    return dec_to_double(s, 14, prec=18)
+    return dec_to_double(_dot_dec_sum(a, b), 14, prec=18)
 
 
 def _sq_norm_dec(a: Column) -> Column:
@@ -138,9 +152,104 @@ def _rademacher_planes(dim: int, n_planes: int) -> list[tuple[int, list[float]]]
     return out
 
 
+def _sign_band_rows_arrow(
+    base: DataFrame, dim: int, n_planes: int, bands: int
+) -> DataFrame:
+    """(vid, band, bh) sign-plane LSH bucket rows through ONE Arrow
+    crossing (r13, guide §4.2): the projection is a dense
+    (n × dim) · (dim × n_planes) multiply — exactly the shape where
+    batched native code beats row-at-a-time JVM expression evaluation.
+    The interpreted ``F.aggregate`` fold profiled at 2.8 s of the
+    5.7 s sf0.1 bench entry (512k × 64-element lambda interpretations);
+    this path does the same arithmetic in vectorized float64 and also
+    deletes the plane-matrix broadcast cross join AND the
+    (vid, band) banding shuffle — the band hashes leave the worker
+    already packed.
+
+    Bit-exactness contract (what makes this a pure optimization):
+    - accumulation replays the fold's exact IEEE op sequence — float32
+      widened to float64 (exact), one multiply per element against the
+      ±1.0 plane component (exact sign flip), one add per element in
+      ascending dimension order starting from +0.0 — so every dot is
+      bit-identical to the JVM fold's and every sign bit matches;
+    - ``dot >= 0.0`` replicates Spark's NaN-largest comparison
+      semantics via ``(acc >= 0) | isnan(acc)``;
+    - rows the JVM path would emit with a NULL band hash (null array,
+      null element, length ≠ dim — zip_with pads with null, nulling
+      the fold) are simply not emitted: a NULL bh never matches the
+      inner (band, bh) equi-join, so the candidate set is identical.
+    """
+    r = n_planes // bands
+    signs = [s for _, s in _rademacher_planes(dim, n_planes)]
+    vid_t = base.schema["vid"].dataType.simpleString()
+
+    def project(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        S = np.asarray(signs, dtype=np.float64)  # (n_planes, dim)
+        shifts = np.arange(n_planes, dtype=np.int64) % r
+        band_ids = np.arange(bands, dtype=np.int64)
+        for batch in batches:
+            vid, e = batch.column(0), batch.column(1)
+            if len(e) == 0:
+                continue
+            lengths = e.value_lengths().to_numpy(zero_copy_only=False)
+            ok = e.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+            ok &= lengths == dim
+            idx = np.flatnonzero(ok)
+            if idx.size == 0:
+                continue
+            flat = e.take(pa.array(idx)).flatten()
+            if flat.null_count:
+                elem_ok = (
+                    flat.is_valid()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(bool)
+                    .reshape(-1, dim)
+                    .all(axis=1)
+                )
+                idx = idx[np.flatnonzero(elem_ok)]
+                if idx.size == 0:
+                    continue
+                flat = e.take(pa.array(idx)).flatten()
+            E = flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+            m = E.shape[0]
+            acc = np.zeros((m, n_planes), dtype=np.float64)
+            for j in range(dim):  # ascending-dim adds = the fold's order
+                acc += E[:, j][:, None] * S[:, j][None, :]
+            bits = (acc >= 0.0) | np.isnan(acc)
+            bv = bits.astype(np.int64) << shifts[None, :]
+            bh = bv.reshape(m, bands, r).sum(axis=2)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vid.take(pa.array(np.repeat(idx, bands))),
+                    pa.array(np.tile(band_ids, m), type=pa.int64()),
+                    pa.array(bh.reshape(-1), type=pa.int64()),
+                ],
+                names=["vid", "band", "bh"],
+            )
+
+    return base.select("vid", "e").mapInArrow(
+        project, f"vid {vid_t}, band bigint, bh bigint"
+    )
+
+
 def _dot_dbl(a: Column, b: Column) -> Column:
     """Plain double dot product — cheap, sequential fold (deterministic
-    per row but NOT the output value; only ever used as a pre-filter)."""
+    per row but NOT the output value; only ever used as a pre-filter).
+
+    Measured r13 note: a dim-unrolled codegen chain (guarded per-row,
+    bit-identical op sequence) halved this fold's EXECUTOR cost
+    (3.06 s → 1.56 s on 512k projection rows) but added ~0.5-0.9 s of
+    analyzer/codegen time per plan build for every 64-deep chain in
+    the tree — a net LOSS for every bench entry (the bench rebuilds
+    the DataFrame per timed run, and the driver would pay the same on
+    a cluster per job submission). Kept: the interpreted fold here,
+    with the hot paths restructured so the fold runs on few rows
+    (``topk_cosine``'s margin shortlist) or not at all (the sign-plane
+    projection's Arrow path).
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -171,6 +280,133 @@ def _prefilter_margin() -> Column:
     return F.lit(4.0 * _DEC_EPS) * F.sqrt(d) * inv_norms + F.lit(1e-12)
 
 
+def _rough_prefilter_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
+    """The double-cosine prefilter of ``_exact_cosine`` as ONE Arrow
+    crossing (r13, guide §4.2): batches of candidate pairs are scored
+    with vectorized float64 dots and filtered against
+    ``threshold − margin``; survivors pass through unchanged for the
+    JVM decimal verify. The interpreted per-pair fold cost (~190 µs
+    per 64-dim pair) made the verify stage the second-largest cost of
+    the LSH/SemDeDup entries.
+
+    Output-identity argument (why ANY summation order is fine here,
+    unlike the sign-plane projection): the margin bound
+    |cos_dec − cos_rough| ≤ 4ε√d(1/‖a‖+1/‖b‖) + 1e-12 holds for every
+    summation order of the double dot (the ε term bounds quantization
+    against the EXACT real sum; numpy's pairwise summation error is
+    strictly below the sequential-fold term the 4× factor covers), so
+    the filter still only discards pairs the decimal threshold would
+    discard. Row classes are mapped to the JVM filter's exact
+    behavior: structurally-null rows (null array / null element /
+    length mismatch / null norm → JVM rough NULL) are dropped, as the
+    JVM ``WHERE`` drops them; NaN-valued roughs (NaN elements with
+    valid norms, 0/0 on zero norms) are KEPT, mirroring Spark's
+    NaN-largest comparison semantics, and meet the same decimal final
+    filter they always did.
+    """
+    fields = pairs.schema.fields
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    names = [f.name for f in fields]
+    thr = float(threshold)
+
+    def rough_filter(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        eps4 = 4.0 * _DEC_EPS
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cols = {nm: batch.column(i) for i, nm in enumerate(names)}
+            ea, eb = cols["e_a"], cols["e_b"]
+            la = ea.value_lengths().to_numpy(zero_copy_only=False)
+            lb = eb.value_lengths().to_numpy(zero_copy_only=False)
+            ok = ea.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+            ok &= eb.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+            ok &= cols["n_a"].is_valid().to_numpy(zero_copy_only=False).astype(bool)
+            ok &= cols["n_b"].is_valid().to_numpy(zero_copy_only=False).astype(bool)
+            ok &= la == lb
+            keep = np.zeros(n, dtype=bool)
+            idx = np.flatnonzero(ok)
+            if idx.size:
+                sel = pa.array(idx)
+                fa, fb = ea.take(sel).flatten(), eb.take(sel).flatten()
+                # null elements null the JVM fold → dropped there too
+                if fa.null_count or fb.null_count:
+                    lens = la[idx].astype(np.int64)
+                    starts = np.zeros(idx.size, dtype=np.int64)
+                    np.cumsum(lens[:-1], out=starts[1:])
+                    av = fa.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+                    bv = fb.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+                    elem_ok = np.array(
+                        [
+                            av[s : s + l].all() and bv[s : s + l].all()
+                            for s, l in zip(starts, lens)
+                        ],
+                        dtype=bool,
+                    )
+                    idx = idx[elem_ok]
+                    if idx.size:
+                        sel = pa.array(idx)
+                        fa = ea.take(sel).flatten()
+                        fb = eb.take(sel).flatten()
+                if idx.size:
+                    A = fa.to_numpy(zero_copy_only=False).astype(np.float64)
+                    B = fb.to_numpy(zero_copy_only=False).astype(np.float64)
+                    lens = la[idx].astype(np.int64)
+                    na = cols["n_a"].to_numpy(zero_copy_only=False)[idx]
+                    nb = cols["n_b"].to_numpy(zero_copy_only=False)[idx]
+                    if lens.size and (lens == lens[0]).all():
+                        d = int(lens[0])
+                        dots = (
+                            np.einsum(
+                                "ij,ij->i", A.reshape(-1, d), B.reshape(-1, d)
+                            )
+                            if d
+                            else np.zeros(idx.size)
+                        )
+                    else:
+                        starts = np.zeros(idx.size, dtype=np.int64)
+                        np.cumsum(lens[:-1], out=starts[1:])
+                        dots = np.array(
+                            [
+                                float(A[s : s + l] @ B[s : s + l]) if l else 0.0
+                                for s, l in zip(starts, lens)
+                            ]
+                        )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        denom = np.sqrt(na) * np.sqrt(nb)
+                        rough = dots / denom
+                        margin = (
+                            eps4
+                            * np.sqrt(lens.astype(np.float64))
+                            * (1.0 / np.sqrt(na) + 1.0 / np.sqrt(nb))
+                            + 1e-12
+                        )
+                        passed = (rough >= thr - margin) | np.isnan(rough)
+                    keep[idx[passed]] = True
+            if keep.any():
+                yield batch.filter(pa.array(keep))
+
+    return pairs.mapInArrow(rough_filter, ddl)
+
+
+def _arrow_prefilter_ok(pairs: DataFrame) -> bool:
+    """Arrow passthrough needs every column's DDL to round-trip —
+    true for the primitive ids + float arrays + double norms every
+    caller passes; anything exotic keeps the JVM filter."""
+    simple = {"e_a", "e_b"}
+    for f in pairs.schema.fields:
+        s = f.dataType.simpleString()
+        if f.name in simple:
+            if s not in ("array<float>", "array<double>"):
+                return False
+        elif "<" in s:
+            return False
+    return {"e_a", "e_b", "n_a", "n_b"} <= {f.name for f in pairs.schema.fields}
+
+
 def _exact_cosine(pairs: DataFrame, threshold: float) -> DataFrame:
     """Exact decimal cosine on (vec_a, vec_b, e_a, e_b, n_a, n_b) rows.
     Shared by both strategies so LSH only ever PRUNES — any pair it
@@ -181,12 +417,20 @@ def _exact_cosine(pairs: DataFrame, threshold: float) -> DataFrame:
     decimal fold is ~5× the cost of the double one — measured 18 s →
     4 s on the sf0.1 LSH path), then the decimal-exact value is
     computed only for survivors and applies the REAL threshold. Output
-    is identical to a decimal-only pass by the margin argument above."""
+    is identical to a decimal-only pass by the margin argument above.
+    The rough pass itself is vectorized through one Arrow crossing
+    (r13 — ``_rough_prefilter_arrow``; the margin argument is
+    summation-order-free, so batched float64 scoring keeps the same
+    output guarantee the interpreted fold had)."""
     denom = F.sqrt("n_a") * F.sqrt("n_b")
     rough = _dot_dbl(F.col("e_a"), F.col("e_b")) / denom
     cos = _dot_dec(F.col("e_a"), F.col("e_b")) / denom
+    if _arrow_prefilter_ok(pairs):
+        filtered = _rough_prefilter_arrow(pairs, threshold)
+    else:
+        filtered = pairs.where(rough >= F.lit(threshold) - _prefilter_margin())
     return (
-        pairs.where(rough >= F.lit(threshold) - _prefilter_margin())
+        filtered
         .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
@@ -202,6 +446,7 @@ def neardup_embed_pairs(
     vec: str = "embedding",
     id_col: str = "vec_id",
     persist: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """All vector pairs (vec_a < vec_b) with cosine ≥ threshold.
 
@@ -233,8 +478,14 @@ def neardup_embed_pairs(
     zero cache residue for library callers; the bench opts in.
 
     The plane matrix needs the embedding dimensionality, read from one
-    row (a 1-row driver action, same class as the watermark max).
+    row (a 1-row driver action, same class as the watermark max);
+    ``dim`` skips that probe when the caller knows it. The projection
+    itself runs through one Arrow crossing with bit-identical
+    arithmetic (r13 — see ``_sign_band_rows_arrow``).
     """
+    if dim is None:
+        first = emb.select(vec).first()
+        dim = len(first[0]) if first is not None else 0
     base = with_sq_norm(emb, vec).select(
         F.col(id_col).alias("vid"), F.col(vec).alias("e"), "sq_norm"
     )
@@ -257,34 +508,37 @@ def neardup_embed_pairs(
     if r > 63:
         raise ValueError("rows-per-band must fit a bigint bitmask")
 
-    spark = emb.sparkSession
-    first = emb.select(vec).first()
-    dim = len(first[0]) if first is not None else 0
-    planes = spark.createDataFrame(
-        _rademacher_planes(dim, n_planes), "plane_id int, sign array<double>"
-    )
-
-    # Projection sign bits: one row per (vector, plane) via a broadcast
-    # cross join with the tiny plane matrix (n_planes rows), folded
-    # JVM-side. The per-row fold order inside F.aggregate is fixed
-    # sequential, so the sign is retry-deterministic.
-    dot = F.aggregate(
-        F.zip_with(F.col("e"), F.col("sign"), lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    band_rows = (
-        base.select("vid", "e")
-        .crossJoin(F.broadcast(planes))
-        .withColumn("dot", dot)
-        .select(
-            "vid",
-            F.expr(f"plane_id div {r}").alias("band"),
-            F.expr(f"shiftleft(CAST(dot >= 0.0d AS BIGINT), plane_id % {r})").alias("bv"),
+    # Projection sign bits (r13): one Arrow crossing computes every
+    # vector's packed band hashes in vectorized float64 with the JVM
+    # fold's exact IEEE op sequence — see _sign_band_rows_arrow for the
+    # bit-exactness contract and what it deletes (the plane broadcast
+    # cross join, 512k interpreted lambda folds, and the banding
+    # shuffle). Exotic (non-primitive) id types keep the JVM
+    # expression path — the Arrow passthrough schema is declared from
+    # the column's DDL string, which only round-trips cleanly for
+    # primitives, and every real id column is one.
+    if dim > 0 and "<" not in base.schema["vid"].dataType.simpleString():
+        band_rows = _sign_band_rows_arrow(base, dim, n_planes, bands)
+    else:
+        spark = emb.sparkSession
+        planes = spark.createDataFrame(
+            _rademacher_planes(dim, n_planes), "plane_id int, sign array<double>"
         )
-        .groupBy("vid", "band")
-        .agg(F.sum("bv").alias("bh"))
-    )
+        dot = _dot_dbl(F.col("e"), F.col("sign"))
+        band_rows = (
+            base.select("vid", "e")
+            .crossJoin(F.broadcast(planes))
+            .withColumn("dot", dot)
+            .select(
+                "vid",
+                F.expr(f"plane_id div {r}").alias("band"),
+                F.expr(
+                    f"shiftleft(CAST(dot >= 0.0d AS BIGINT), plane_id % {r})"
+                ).alias("bv"),
+            )
+            .groupBy("vid", "band")
+            .agg(F.sum("bv").alias("bh"))
+        )
     if persist:
         band_rows = persist_once(band_rows)
 
@@ -320,13 +574,17 @@ def with_kmeans_labels(
     """
     if label_col in emb.columns:
         raise ValueError(f"{label_col!r} already exists on the input")
+    if _kmeans_arrow_ok(emb, vec):
+        return _with_kmeans_labels_arrow(emb, centroids, vec, label_col)
     cents = centroids.select(
         F.col("label").alias("__cl"),
         F.col("centroid").alias("__c"),
         F.sqrt(_dot_dbl(F.col("centroid"), F.col("centroid"))).alias("__cnorm"),
     )
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", _dot_dbl(F.col(vec).cast("array<double>"), F.col("__c")) / F.col("__cnorm")
+        "__sim",
+        _dot_dbl(F.col(vec).cast("array<double>"), F.col("__c"))
+        / F.col("__cnorm"),
     )
     # argmax via max(struct(sim, -label)): greatest sim, then least label.
     best = (
@@ -336,6 +594,158 @@ def with_kmeans_labels(
         .drop("__b")
     )
     return best
+
+
+def _kmeans_arrow_ok(emb: DataFrame, vec: str) -> bool:
+    for f in emb.schema.fields:
+        s = f.dataType.simpleString()
+        if f.name == vec:
+            if s not in ("array<float>", "array<double>"):
+                return False
+        elif "<" in s:
+            return False
+    return True
+
+
+def _with_kmeans_labels_arrow(
+    emb: DataFrame, centroids: DataFrame, vec: str, label_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment through ONE Arrow crossing (r13,
+    guide §4.2): the n×k scored cross join profiled at 0.95 s of the
+    3.0 s sf0.1 SemDeDup bench entry (interpreted per-(row,centroid)
+    lambda folds); this path does the same arithmetic vectorized and
+    also deletes the centroid broadcast join AND the argmax
+    re-aggregation shuffle (``groupBy(*emb.columns)``).
+
+    Bit-exactness contract (cluster membership shapes candidate sets,
+    so this must replicate the JVM path move for move):
+    - the k-row centroid table is collected driver-side (index
+      metadata, same class as the k-means loop's own collects);
+    - each sim replays the fold's IEEE op sequence (float32 widened
+      exactly, products then ascending-dimension adds from +0.0;
+      ``cnorm`` likewise) and divides by cnorm once;
+    - the argmax replicates ``max(struct(sim, -label))`` exactly: sims
+      compare by Spark's double total order (NaN largest, -0.0 below
+      +0.0 — the IEEE total-order bit trick), ties take the LOWEST
+      label, and rows whose sim is NULL against every centroid (null
+      vector, null element, length ≠ centroid dim) take the lowest
+      label overall, which is what max-over-(NULL, -label) structs
+      returned.
+
+    One deliberate semantic narrowing vs the JVM form: the old
+    ``groupBy(*emb.columns)`` MERGED fully-duplicate input rows; this
+    path labels rows 1:1. Every caller feeds id-keyed (hence distinct)
+    rows, and the operator's contract is per-row labeling, not
+    dedup — asserted by the existing equality tests.
+    """
+    import numpy as np
+
+    rows = sorted(
+        centroids.select("label", "centroid").collect(),
+        key=lambda r: int(r.label),
+    )
+    labels = [int(r.label) for r in rows]
+    cents = [r.centroid for r in rows]
+    k = len(cents)
+    fields = emb.schema.fields
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    out_ddl = f"{ddl}, {label_col} int"
+    names = [f.name for f in fields]
+    vec_i = names.index(vec)
+
+    # Per-centroid prep (driver side, k×dim work): validity, exact
+    # left-fold cnorm, float64 component arrays.
+    cent_arrs, cent_valid, cnorms = [], [], []
+    for c in cents:
+        if c is None or any(x is None for x in c):
+            cent_arrs.append(None)
+            cent_valid.append(False)
+            cnorms.append(0.0)
+            continue
+        arr = np.asarray([float(x) for x in c], dtype=np.float64)
+        acc = 0.0
+        for x in arr:  # the fold's ascending-dim order
+            acc = acc + x * x
+        cent_arrs.append(arr)
+        cent_valid.append(True)
+        cnorms.append(np.sqrt(acc))
+
+    MIN_KEY = np.int64(-(2**63))
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def order_key(x):
+            """IEEE-754 total-order int64 key matching Double.compare."""
+            b = x.view(np.int64)
+            return b ^ ((b >> np.int64(63)) & np.int64(0x7FFFFFFFFFFFFFFF))
+
+        if k == 0:
+            # JVM form: cross join with an EMPTY centroid table yields
+            # zero rows; replicate by emitting nothing.
+            return
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            e = batch.column(vec_i)
+            lengths = e.value_lengths().to_numpy(zero_copy_only=False)
+            row_ok = e.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+            flat = e.flatten()
+            if flat.null_count:
+                ev = flat.is_valid().to_numpy(zero_copy_only=False).astype(bool)
+                # per-row all-elements-valid over the ragged layout
+                ll = np.where(row_ok, lengths, 0).astype(np.int64)
+                starts = np.zeros(n, dtype=np.int64)
+                np.cumsum(ll[:-1], out=starts[1:])
+                row_ok &= np.array(
+                    [ev[s : s + l].all() for s, l in zip(starts, ll)], dtype=bool
+                )
+            keys = np.full((n, k), MIN_KEY, dtype=np.int64)
+            idx = np.flatnonzero(row_ok)
+            if idx.size:
+                sub = e.take(pa.array(idx))
+                sl = lengths[idx].astype(np.int64)
+                sflat = (
+                    sub.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+                )
+                sstarts = np.zeros(idx.size, dtype=np.int64)
+                np.cumsum(sl[:-1], out=sstarts[1:])
+                for j in range(k):
+                    if not cent_valid[j]:
+                        continue
+                    C = cent_arrs[j]
+                    d = C.shape[0]
+                    match = np.flatnonzero(sl == d)
+                    if match.size == 0:
+                        continue
+                    if (sl == d).all():
+                        V = sflat.reshape(-1, d)
+                        rows_sel = np.arange(idx.size)
+                    else:
+                        V = np.stack(
+                            [
+                                sflat[sstarts[m] : sstarts[m] + d]
+                                for m in match
+                            ]
+                        )
+                        rows_sel = match
+                    acc = np.zeros(V.shape[0], dtype=np.float64)
+                    for dd in range(d):  # ascending-dim left fold
+                        acc += V[:, dd] * C[dd]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sim = acc / cnorms[j]
+                    keys[idx[rows_sel], j] = order_key(sim)
+            best = np.argmax(keys, axis=1)  # ties → first = lowest label
+            lbl = np.asarray(labels, dtype=np.int32)[best]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(len(names))]
+                + [pa.array(lbl, type=pa.int32())],
+                names=names + [label_col],
+            )
+
+    return emb.mapInArrow(assign, out_ddl)
 
 
 def kmeans_centroids(
@@ -571,7 +981,52 @@ def topk_cosine(
     else:
         raise ValueError(f"unknown strategy: {strategy!r}")
 
-    scored = joined.where(F.col("qid") != F.col("vec_id")).withColumn(
+    # Margin-proved rough shortlist (r13, guide §1.2 "per-task work" /
+    # §8 "decide with small rows"): the exact decimal dot costs ~3 ms
+    # per 64-dim pair row (interpreted BigDecimal fold — measured), and
+    # scoring EVERY candidate decimally made this operator's cost
+    # n_candidates × 3 ms. The cheap double cosine bounds the exact one
+    # within a per-row conservative margin m (the same ulp argument as
+    # ``_prefilter_margin``; both folds share the denominator, which
+    # cancels in the difference), so with
+    #   lo = rough − m ≤ cosine ≤ rough + m = hi
+    # and T = k-th largest lo within a query, any row with hi < T is
+    # beaten by ≥ k rows whose exact cosine is ≥ T — it provably cannot
+    # be in the exact top-k, ties included (the k beaters are STRICTLY
+    # above it). The decimal fold then runs only on the ~k survivors.
+    # Null-safety: a row whose rough cosine is null (null/NaN elements,
+    # decimal-overflow norms — the same rows whose exact cosine is null
+    # or null-denominated) is kept unconditionally and never shapes T,
+    # so the exact ranking sees exactly the rows it saw before. All
+    # three windows share the qid hash-partitioning — no new Exchange.
+    pre = joined.where(F.col("qid") != F.col("vec_id")).withColumn(
+        "__rough",
+        _dot_dbl(F.col("q_emb"), F.col("c_emb"))
+        / (F.sqrt("q_n2") * F.sqrt("c_n2")),
+    )
+    d = F.size("c_emb").cast("double")
+    margin = (
+        F.lit(4.0 * _DEC_EPS)
+        * F.sqrt(d)
+        * (F.lit(1.0) / F.sqrt("q_n2") + F.lit(1.0) / F.sqrt("c_n2"))
+        + F.lit(1e-12)
+    )
+    pre = pre.withColumn(
+        "__lo",
+        F.when(F.col("__rough").isNotNull(), F.col("__rough") - margin),
+    ).withColumn("__hi", F.col("__rough") + margin)
+    wlo = Window.partitionBy("qid").orderBy(F.desc("__lo"), "vec_id")
+    wq = Window.partitionBy("qid")
+    pre = pre.withColumn("__rn", F.row_number().over(wlo)).withColumn(
+        "__T",
+        F.max(F.when(F.col("__rn") == k, F.col("__lo"))).over(wq),
+    )
+    survivors = pre.where(
+        F.col("__rough").isNull()
+        | F.col("__T").isNull()
+        | (F.col("__hi") >= F.col("__T"))
+    )
+    scored = survivors.withColumn(
         "cosine",
         _dot_dec(F.col("q_emb"), F.col("c_emb"))
         / (F.sqrt("q_n2") * F.sqrt("c_n2")),

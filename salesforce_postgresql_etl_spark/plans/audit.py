@@ -185,7 +185,7 @@ def audit(df: DataFrame) -> PlanAudit:
         bnl_joins=count(r"\bBroadcastNestedLoopJoin\b"),
         row_udf=count(r"\bBatchEvalPython\b"),
         arrow_udf=count(r"\b(?:ArrowEvalPython|FlatMapGroupsInPandas|"
-                        r"AggregateInPandas|MapInPandas)\b"),
+                        r"AggregateInPandas|MapInPandas|MapInArrow)\b"),
         single_partition=count(r"Exchange SinglePartition"),
         shuffles=count(r"\bExchange (?:hashpartitioning|rangepartitioning|"
                        r"SinglePartition)"),
