@@ -40,7 +40,7 @@ Scale shape (100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -118,14 +118,15 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
+        # r13: termination needs emptiness, not a count — limit-1 scan
+        unchanged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
+            .isEmpty()
         )
         labels = new_labels
-        if changed == 0:
+        if unchanged:
             break
     else:
         raise RuntimeError(
@@ -333,11 +334,24 @@ def connected_components_contract(
     graph still gets thousands of partitions while a 381k-edge local
     graph stops scheduling 32-task stages for 2k-row tables.
     """
-    base = pairs.select(
-        F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v")
-    ).localCheckpoint(eager=True)
+    # r13 (guide §1.2 "per-task work" is NOT the cost here — §2.6-style
+    # fixed job overhead is): every driver probe that used to be its own
+    # job (per-round edge count, squaring stability, relabeled-edge
+    # count) now rides the frame's eager-checkpoint job as an observed
+    # metric (``Observation`` fires when the checkpoint materializes),
+    # cutting the loop from ~7 to ~4 jobs per round. Values are exactly
+    # the counts the probes computed — same termination, same stats.
+    base_obs = Observation()
+    base = (
+        pairs.select(
+            F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v")
+        )
+        .observe(base_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     sym = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
     in_parts = max(base.rdd.getNumPartitions(), 1)
+    next_n_edges = int(base_obs.get["n"])
     # The loop's edge list stays ONE-DIRECTIONAL: the per-round min is
     # computed over a lazy two-scan union of the checkpointed frame
     # (symmetrizing inside the aggregation), and contracted edges are
@@ -351,7 +365,7 @@ def connected_components_contract(
     edge_counts: list[int] = []
     mappings: list[DataFrame] = []
     while True:
-        n_edges = edges.count()
+        n_edges = next_n_edges
         if n_edges == 0:
             break
         if rounds >= max_iters:
@@ -389,6 +403,7 @@ def connected_components_contract(
         # convergence probe is a limit-1 scan of the checkpointed
         # result, not a join job.
         for _ in range(64):
+            sq_obs = Observation()
             l2 = (
                 l.join(
                     l.select(F.col("u").alias("l"), F.col("l").alias("ll")),
@@ -401,15 +416,21 @@ def connected_components_contract(
                     (F.coalesce("ll", "l") != F.col("l")).alias("_moved"),
                 )
                 .coalesce(nparts)
+                .observe(
+                    sq_obs,
+                    F.count(F.when(F.col("_moved"), 1)).alias("moved"),
+                )
                 .localCheckpoint(eager=True)
             )
-            stable = l2.where(F.col("_moved")).isEmpty()
+            # stability rides the checkpoint job (r13) — no probe job
+            stable = int(sq_obs.get["moved"]) == 0
             l = l2.select("u", "l")
             if stable:
                 break
         else:  # pragma: no cover — 2^64 exceeds any pointer chain
             raise RuntimeError("mapping compression did not converge")
         mappings.append(l)
+        e_obs = Observation()
         edges = (
             edges.join(l.select("u", F.col("l").alias("lu")), "u")
             .join(
@@ -422,8 +443,10 @@ def connected_components_contract(
             )
             .distinct()
             .coalesce(nparts)
+            .observe(e_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
+        next_n_edges = int(e_obs.get["n"])
     if stats is not None:
         stats["rounds"] = rounds
         # free telemetry — the counts double as the termination checks
@@ -507,7 +530,12 @@ def connected_components_star(
     raw = pairs.select(
         F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v")
     ).localCheckpoint(eager=True)
-    edges = _canon(raw).localCheckpoint(eager=True)
+    e_obs = Observation()
+    edges = (
+        _canon(raw)
+        .observe(e_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     # Node set comes from the RAW pairs, not the canonicalized edges:
     # _canon drops self-loops, and a node appearing ONLY in a self-loop
     # must still be labeled (as its own singleton) to match the other
@@ -518,16 +546,23 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = edges.count()
+    n_edges = int(e_obs.get["n"])
     for rounds in range(1, max_iters + 1):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # r13: the round count rides the checkpoint job as an observed
+        # metric (same fixed-job-overhead cut as the contract loop).
+        r_obs = Observation()
+        new_edges = (
+            _small_star(_large_star(edges))
+            .observe(r_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
         # Convergence = edge-set equality. Count-gate the expensive
         # check (r7): counts come from cheap scans of the checkpointed
         # frames; only when they match can the sets be equal, and then
         # ONE exceptAll suffices — _canon output is a distinct SET, so
         # new ⊆ old with |new| = |old| forces new = old. The old
         # two-sided exceptAll ran every round.
-        n_new = new_edges.count()
+        n_new = int(r_obs.get["n"])
         changed = 1
         if n_new == n_edges:
             changed = new_edges.exceptAll(edges).limit(1).count()
