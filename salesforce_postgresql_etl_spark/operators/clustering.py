@@ -40,6 +40,8 @@ Scale shape (100 TB story):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -54,6 +56,29 @@ from pyspark.storagelevel import StorageLevel
 # serialize local map stages" lesson, rediscovered). At scale the
 # count is capped by the input's own partition count.
 _LOOP_ROWS_PER_PARTITION = 100_000
+
+# r13 (guide §3.1 "pick the join strategy deliberately"): the loop
+# frames are eagerly checkpointed, which strips Catalyst size stats, so
+# auto-broadcast NEVER fires and every mapping-table join runs as a
+# sort-merge with two shuffle exchanges — even in round 2+ when the
+# contracted graph is a handful of rows. The loops already measure the
+# exact per-round edge count (the Observation termination probes), so
+# the broadcast decision is made from REAL counts, not estimates: a
+# mapping table bounded by <= 2·n_edges rows of (long, long) below this
+# row cap is broadcast. 1M rows ≈ 16 MB of key/value data (~50 MB as a
+# built hash relation) — comfortably inside executor memory anywhere.
+# At 100 TB the first round's billions of edges keep the gate shut and
+# the joins stay sort-merge; contracted later rounds flip to broadcast
+# exactly when their data justifies it. Env-overridable for clusters
+# with tighter executors.
+_CC_BROADCAST_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CC_BROADCAST_ROWS", "1000000")
+)
+
+
+def _maybe_broadcast(df: DataFrame, bound_rows: int) -> DataFrame:
+    """Broadcast-hint ``df`` when its row bound clears the gate."""
+    return F.broadcast(df) if bound_rows <= _CC_BROADCAST_ROWS else df
 
 
 def connected_components(
@@ -364,6 +389,7 @@ def connected_components_contract(
     rounds = 0
     edge_counts: list[int] = []
     mappings: list[DataFrame] = []
+    mapping_bounds: list[int] = []
     while True:
         n_edges = next_n_edges
         if n_edges == 0:
@@ -379,6 +405,8 @@ def connected_components_contract(
         rounds += 1
         edge_counts.append(n_edges)
         nparts = max(1, min(in_parts, -(-n_edges // _LOOP_ROWS_PER_PARTITION)))
+        # Mapping table rows = nodes of the current graph <= 2·n_edges.
+        node_bound = 2 * n_edges
         un = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -406,7 +434,10 @@ def connected_components_contract(
             sq_obs = Observation()
             l2 = (
                 l.join(
-                    l.select(F.col("u").alias("l"), F.col("l").alias("ll")),
+                    _maybe_broadcast(
+                        l.select(F.col("u").alias("l"), F.col("l").alias("ll")),
+                        node_bound,
+                    ),
                     "l",
                     "left",
                 )
@@ -430,11 +461,21 @@ def connected_components_contract(
         else:  # pragma: no cover — 2^64 exceeds any pointer chain
             raise RuntimeError("mapping compression did not converge")
         mappings.append(l)
+        mapping_bounds.append(node_bound)
         e_obs = Observation()
         edges = (
-            edges.join(l.select("u", F.col("l").alias("lu")), "u")
+            edges.join(
+                _maybe_broadcast(
+                    l.select("u", F.col("l").alias("lu")), node_bound
+                ),
+                "u",
+            )
             .join(
-                l.select(F.col("u").alias("v"), F.col("l").alias("lv")), "v"
+                _maybe_broadcast(
+                    l.select(F.col("u").alias("v"), F.col("l").alias("lv")),
+                    node_bound,
+                ),
+                "v",
             )
             .where(F.col("lu") != F.col("lv"))
             .select(
@@ -465,7 +506,12 @@ def connected_components_contract(
     )
     for i, m in enumerate(mappings):
         labels = labels.join(
-            m.select(F.col("u").alias("comp"), F.col("l").alias(f"_n{i}")),
+            _maybe_broadcast(
+                m.select(
+                    F.col("u").alias("comp"), F.col("l").alias(f"_n{i}")
+                ),
+                mapping_bounds[i],
+            ),
             "comp",
             "left",
         ).select("node", F.coalesce(f"_n{i}", "comp").alias("comp"))
@@ -483,26 +529,28 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
+def _large_star(edges: DataFrame, node_bound: int = 2**62) -> DataFrame:
     """Large-star(u): every neighbor v > u re-attaches to
-    m = min(Γ(u) ∪ {u})."""
+    m = min(Γ(u) ∪ {u}). ``node_bound`` bounds the per-node min table
+    (one row per node) for the r13 broadcast gate."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     m = mins.select(
         "u", F.least(F.col("mv"), F.col("u")).alias("m")
     )
     return _canon(
-        sym.join(m, "u")
+        sym.join(_maybe_broadcast(m, node_bound), "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
+def _small_star(edges: DataFrame, node_bound: int = 2**62) -> DataFrame:
     """Small-star(u): all smaller neighbors (and u itself) attach to
-    the minimum smaller neighbor. Input must be canonical (u > v)."""
+    the minimum smaller neighbor. Input must be canonical (u > v).
+    ``node_bound`` as in ``_large_star``."""
     mins = edges.groupBy("u").agg(F.min("v").alias("m"))
-    nbr = edges.join(mins, "u").select(
+    nbr = edges.join(_maybe_broadcast(mins, node_bound), "u").select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
     own = mins.select("u", F.col("m").alias("v"))
@@ -551,8 +599,9 @@ def connected_components_star(
         # r13: the round count rides the checkpoint job as an observed
         # metric (same fixed-job-overhead cut as the contract loop).
         r_obs = Observation()
+        node_bound = 2 * n_edges
         new_edges = (
-            _small_star(_large_star(edges))
+            _small_star(_large_star(edges, node_bound), node_bound)
             .observe(r_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
@@ -579,6 +628,8 @@ def connected_components_star(
     # Stable star edges are (child, root); roots and any node whose
     # component fully contracted label themselves.
     parents = edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
-    return nodes.join(parents, "node", "left").select(
+    return nodes.join(
+        _maybe_broadcast(parents, 2 * n_edges), "node", "left"
+    ).select(
         "node", F.coalesce(F.col("comp"), F.col("node")).alias("comp")
     )
