@@ -53,6 +53,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import fanout
+
 DUP_MIN_COUNT = 2  # "duplicated" = occurs at least twice corpus-wide
 
 
@@ -76,10 +78,18 @@ def gram_rows(
         f"          i -> concat_ws(' ', slice(t, i, {k}))) "
         "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
+    # r13: the gram build (transform + concat_ws over every slice) is
+    # the operator's per-task hot loop; fanout() spreads it across the
+    # session's cores when the scan is a single split (measured at
+    # sf0.1/k=8: q_dup_spans 2.16s -> 1.06s, q_strip_dup_spans 2.30s
+    # -> 1.41s). No-op at scale — see session.fanout.
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.split(F.col(text_col), " ").alias("t"),
+        fanout(
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.split(F.col(text_col), " ").alias("t"),
+            ),
+            "doc_id",
         )
         .select("doc_id", F.posexplode(grams).alias("pos", "gram"))
     )
@@ -228,10 +238,13 @@ def strip_dup_spans(
     in-array sort, so the result is partition-independent. Everything
     is linear in corpus size; per-doc state is one token array (the
     same bound the tokenize step already holds)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
-    )
+    toks = fanout(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("t"),
+        ),
+        "doc_id",
+    ).select("doc_id", F.posexplode("t").alias("pos", "tok"))
     covered = (
         removal_starts(docs, k, min_count, use_hash, text_col, id_col)
         .select(

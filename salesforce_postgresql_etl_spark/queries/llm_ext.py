@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.simsearch import neardup_embed_pairs
+from ..session import fanout
 from ..sources import load
 from . import register
 
@@ -71,7 +72,12 @@ FROM sig
 @register("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
+    # r13 (guide §2.5): the md5-per-token partial aggregate is the hot
+    # loop; a single-split documents scan pins it to one core, so fan
+    # the (doc_id, text) rows out first (no-op at scale). Plane sums
+    # are +-1 integer adds — order-free, result-identical (measured
+    # sf0.1: 2.97s -> 1.42s min-of-4, rows identical).
+    tok = fanout(d.select("doc_id", "text"), "doc_id").select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
     )
     h = F.md5(F.col("tok"))  # one digest per token, 32 hex-digit planes

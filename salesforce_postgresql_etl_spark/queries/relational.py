@@ -28,6 +28,7 @@ from ..functions import (
     sql_dec_to_double,
     sql_dsum,
 )
+from ..session import fanout
 from ..sources import load
 from . import register
 
@@ -70,8 +71,22 @@ GROUP BY l_returnflag, l_linestatus
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     charge = _revenue() * (F.lit(1).cast(D_RATE) + rate("l_tax"))
+    # r13 (guide §2.5 single-split input): the partial aggregate's
+    # decimal math is the flagship's hot loop, and a one-row-group scan
+    # pins it to one core; fanout() spreads the filtered rows across
+    # the session first (no-op at scale — a real fact scan has
+    # thousands of splits). Result-identical by construction: every
+    # aggregated value is decimal / count, so per-partition
+    # accumulation order cannot change a bit (determinism doctrine).
+    # Measured at sf0.1: 2.77s -> 2.00s min-of-4, rows identical.
     return (
-        l.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+        fanout(
+            l.where(
+                F.col("l_shipdate")
+                <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz")
+            ),
+            "l_orderkey",
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),

@@ -63,6 +63,30 @@ def persist_once(df, level=None):
     return df
 
 
+def fanout(df, *keys: str):
+    """Hash-repartition ``df`` to the session's default parallelism —
+    but ONLY when its current plan would execute on fewer partitions
+    (guide §2.5 "input skew / one huge unsplittable file: repartition
+    immediately after the read"). The driver fixtures are single
+    parquet files, so a scan is ONE split and any explode / gram build
+    / Arrow crossing sitting directly on it runs single-core; at real
+    scale a scan has thousands of splits and this gate never fires, so
+    no exchange is added where the data already provides parallelism.
+
+    Keyed (hash) repartition, not round-robin: deterministic under
+    task retry (guide §2.5 SPARK-38388) and skips the
+    sortBeforeRepartition local sort round-robin pays. Callers pass a
+    high-cardinality key (e.g. doc_id).
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(par, *[F.col(k) for k in keys])
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Make this package importable on Python workers (UDF paths).
 
