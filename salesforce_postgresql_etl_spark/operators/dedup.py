@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from ..session import persist_once
+from ..session import fanout, persist_once
 
 # 64 hashes in 8 bands of r=8. Tuned against the fixture corpus, whose
 # pair-similarity mass is adversarially dense (median pair Jaccard 0.63,
@@ -44,6 +44,21 @@ from ..session import persist_once
 # (asserted in tests/test_llm_ops.py, deterministic: seeds are fixed).
 DEFAULT_N_HASHES = 64
 DEFAULT_BANDS = 8  # → rows-per-band r = n_hashes // bands = 8
+
+
+def _fan_docs(docs: DataFrame) -> DataFrame:
+    """r13 (guide §2.5 input skew): a single-split fixture scan pins the
+    shingle build + the 64-hash signature aggregate — the minhash
+    strategy's per-task hot loop — to ONE core. Hash-spread the
+    (doc_id, text) rows across the session first; ``fanout`` no-ops at
+    real scale where the scan already provides parallelism. Net-zero
+    exchanges on the minhash path: ``_minhash_band_rows``'s
+    groupBy(doc_id) reuses the doc_id hash partitioning, so its own
+    exchange disappears and the signature aggregate runs as one
+    complete-mode HashAggregate over co-located doc rows. Rows are
+    untouched and min()/count() are order-free, so band rows — and
+    every candidate/verify stage above them — are bit-identical."""
+    return fanout(docs.select("doc_id", "text"), "doc_id")
 
 
 def _char5_shingles() -> Column:
@@ -194,6 +209,8 @@ def neardup_pairs(
     and owns the unpersist (the bench opts in and clears cache per
     entry).
     """
+    if strategy == "minhash":
+        docs = _fan_docs(docs)
     tok = token_sets(docs, tokenizer=tokenizer)
     if strategy == "minhash" and persist:
         tok = persist_once(tok)
@@ -252,7 +269,9 @@ def band_signatures(
     are comparable across batches and rounds by construction."""
     if (n_hashes // bands) * bands != n_hashes:
         raise ValueError("n_hashes must be divisible by bands")
-    return _minhash_band_rows(token_sets(docs, tokenizer=tokenizer), n_hashes, bands)
+    return _minhash_band_rows(
+        token_sets(_fan_docs(docs), tokenizer=tokenizer), n_hashes, bands
+    )
 
 
 def neardup_pairs_cross(
@@ -303,6 +322,13 @@ def neardup_pairs_cross(
                 f"corpus_bands missing column(s) {sorted(missing)}; expected "
                 "the band_signatures schema (doc_id, band, bh, sz)"
             )
+    if strategy == "minhash":
+        new_docs = _fan_docs(new_docs)
+        if corpus_bands is None:
+            # with stored bands the full corpus is never tokenized or
+            # hashed here — only the semi-join-pruned verify subset
+            # below, which is candidate-sized, not scan-sized
+            corpus = _fan_docs(corpus)
     tok_a = token_sets(new_docs, tokenizer=tokenizer)
     tok_b = token_sets(corpus, tokenizer=tokenizer)
     if strategy == "minhash" and persist:
