@@ -75,6 +75,17 @@ _CC_BROADCAST_ROWS = int(
     os.environ.get("SPARK_GRAFT_CC_BROADCAST_ROWS", "1000000")
 )
 
+# r13 OPT (guide §2.6 fixed job overhead): pointer hops composed per
+# checkpointed compression pass in the broadcast regime. Each pass is
+# ONE plan whose chained left joins all probe the SAME broadcast of the
+# pass-input mapping (one BroadcastExchange, reused), so a pass costs 2
+# jobs regardless of hop count — where a squaring pass costs 2 jobs for
+# reach ×2, a hop-chain pass reaches ×(hops+1). Reach across passes is
+# (hops+1)^passes vs 2^passes. 7 hops → chains ≤ 8 compress in ONE
+# 2-job pass (the measured LSH graph needed FOUR squaring passes = 8
+# jobs), ≤ 64 in two. Env-overridable for plan-size-sensitive setups.
+_CC_JUMP_HOPS = int(os.environ.get("SPARK_GRAFT_CC_JUMP_HOPS", "7"))
+
 
 def _maybe_broadcast(df: DataFrame, bound_rows: int) -> DataFrame:
     """Broadcast-hint ``df`` when its row bound clears the gate."""
@@ -417,49 +428,100 @@ def connected_components_contract(
             .coalesce(nparts)
             .localCheckpoint(eager=True)
         )
-        # Compress the mapping to idempotence before applying it
-        # (l ← l∘l until fixpoint): one squaring doubles pointer-chain
-        # reach, so compression needs ≤ log₂(longest chain) squarings —
-        # quasi-cliques converge after one, a path graph after log n.
-        # A SINGLE jump is not enough: on a chain it only shifts labels
-        # by a constant, leaving Θ(n) contraction rounds. The jump
-        # target l(u) is a current-graph node, hence in l's own domain
-        # (the symmetrized aggregation puts every endpoint in u); LEFT +
-        # coalesce is defensive only. Each squaring is a self-join of
-        # the (node, label) MAPPING table — the edge list is never
-        # touched — and carries its own stability flag, so the
-        # convergence probe is a limit-1 scan of the checkpointed
-        # result, not a join job.
-        for _ in range(64):
-            sq_obs = Observation()
-            l2 = (
-                l.join(
-                    _maybe_broadcast(
-                        l.select(F.col("u").alias("l"), F.col("l").alias("ll")),
-                        node_bound,
-                    ),
-                    "l",
-                    "left",
-                )
-                .select(
-                    "u",
-                    F.coalesce("ll", "l").alias("l"),
-                    (F.coalesce("ll", "l") != F.col("l")).alias("_moved"),
-                )
-                .coalesce(nparts)
-                .observe(
-                    sq_obs,
-                    F.count(F.when(F.col("_moved"), 1)).alias("moved"),
-                )
-                .localCheckpoint(eager=True)
+        # Compress the mapping to idempotence before applying it:
+        # pointer-chain reach must cover the longest label chain —
+        # quasi-cliques converge immediately, a path graph needs
+        # log-many passes. A SINGLE jump is not enough: on a chain it
+        # only shifts labels by a constant, leaving Θ(n) contraction
+        # rounds. The jump target l(u) is a current-graph node, hence
+        # in l's own domain (the symmetrized aggregation puts every
+        # endpoint in u); LEFT + coalesce is defensive only. Two
+        # regimes (r13 OPT, guide §2.6 — job round-trips, not data,
+        # dominate the compressed mapping):
+        #
+        # - broadcast regime (node_bound clears the r13 gate): each
+        #   checkpointed pass chains ``_CC_JUMP_HOPS`` lookups of the
+        #   SAME pass-input mapping g — all hops probe one broadcast,
+        #   built once — computing g^(hops+1) in 2 jobs. Passes feed
+        #   their output back as the next lookup, so reach is
+        #   (hops+1)^passes. The pass is SELF-CERTIFYING: if the FINAL
+        #   hop moved zero rows then g(x_h(u)) = x_h(u) for every u
+        #   (x_h = x_{h-1} pointwise and x_h = g(x_{h-1})), i.e. every
+        #   VALUE w of the output satisfies g(w) = w, hence
+        #   out(out(u)) = g^(hops+1)(w) = w = out(u) — idempotent with
+        #   no confirming pass. Measured on the sf0.1 LSH pair graph:
+        #   round-1 compression 4 squaring passes (8 jobs) → 2 chain
+        #   passes (4 jobs); rounds 2-3 one pass each.
+        # - sort-merge regime (gate shut — 100 TB round 1, billions of
+        #   edges): per-squaring checkpoints exactly as before (l ← l∘l,
+        #   reach 2^passes). Chaining hops here would stack ``hops``
+        #   full shuffle joins of a billion-row table in one plan —
+        #   the broadcast reuse that makes hops free does not exist.
+        if node_bound <= _CC_BROADCAST_ROWS:
+            lk = F.broadcast(
+                l.select(F.col("u").alias("_k"), F.col("l").alias("_v"))
             )
-            # stability rides the checkpoint job (r13) — no probe job
-            stable = int(sq_obs.get["moved"]) == 0
-            l = l2.select("u", "l")
-            if stable:
-                break
-        else:  # pragma: no cover — 2^64 exceeds any pointer chain
-            raise RuntimeError("mapping compression did not converge")
+            for _ in range(64):
+                sq_obs = Observation()
+                cur = l
+                for h in range(_CC_JUMP_HOPS):
+                    hop = F.coalesce("_v", "l")
+                    cols = ["u", hop.alias("l")]
+                    if h == _CC_JUMP_HOPS - 1:  # stability rides last hop
+                        cols.append((hop != F.col("l")).alias("_moved"))
+                    cur = cur.join(
+                        lk, F.col("l") == F.col("_k"), "left"
+                    ).select(*cols)
+                l2 = (
+                    cur.coalesce(nparts)
+                    .observe(
+                        sq_obs,
+                        F.count(F.when(F.col("_moved"), 1)).alias("moved"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                stable = int(sq_obs.get["moved"]) == 0
+                l = l2.select("u", "l")
+                if stable:
+                    break
+                lk = F.broadcast(
+                    l.select(F.col("u").alias("_k"), F.col("l").alias("_v"))
+                )
+            else:  # pragma: no cover — 8^64 exceeds any pointer chain
+                raise RuntimeError("mapping compression did not converge")
+        else:
+            for _ in range(64):
+                sq_obs = Observation()
+                l2 = (
+                    l.join(
+                        _maybe_broadcast(
+                            l.select(
+                                F.col("u").alias("l"), F.col("l").alias("ll")
+                            ),
+                            node_bound,
+                        ),
+                        "l",
+                        "left",
+                    )
+                    .select(
+                        "u",
+                        F.coalesce("ll", "l").alias("l"),
+                        (F.coalesce("ll", "l") != F.col("l")).alias("_moved"),
+                    )
+                    .coalesce(nparts)
+                    .observe(
+                        sq_obs,
+                        F.count(F.when(F.col("_moved"), 1)).alias("moved"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                # stability rides the checkpoint job (r13) — no probe job
+                stable = int(sq_obs.get["moved"]) == 0
+                l = l2.select("u", "l")
+                if stable:
+                    break
+            else:  # pragma: no cover — 2^64 exceeds any pointer chain
+                raise RuntimeError("mapping compression did not converge")
         mappings.append(l)
         mapping_bounds.append(node_bound)
         e_obs = Observation()
@@ -532,13 +594,25 @@ def _canon(edges: DataFrame) -> DataFrame:
 def _large_star(edges: DataFrame, node_bound: int = 2**62) -> DataFrame:
     """Large-star(u): every neighbor v > u re-attaches to
     m = min(Γ(u) ∪ {u}). ``node_bound`` bounds the per-node min table
-    (one row per node) for the r13 broadcast gate."""
+    (one row per node) for the r13 broadcast gate.
+
+    Output is oriented-but-not-distinct (r13 OPT, guide §2.4 "remove
+    shuffles outright"): every emitted row (v, m) already satisfies
+    v > m and v != m BY CONSTRUCTION — m = min(Γ(u) ∪ {u}) ≤ u and the
+    where() keeps only v > u, so v > u ≥ m strictly — which is all of
+    ``_canon``'s work except the duplicate drop. ``_small_star``
+    tolerates duplicate input rows exactly (its per-node min is
+    dup-insensitive and its own closing ``_canon`` dedups), so the
+    intermediate distinct was one full shuffle exchange per alternation
+    spent removing rows the next aggregation ignores. Dup volume is
+    bounded by the symmetric edge count (each input row emits ≤ 1 row).
+    """
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     m = mins.select(
         "u", F.least(F.col("mv"), F.col("u")).alias("m")
     )
-    return _canon(
+    return (
         sym.join(_maybe_broadcast(m, node_bound), "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -547,7 +621,10 @@ def _large_star(edges: DataFrame, node_bound: int = 2**62) -> DataFrame:
 
 def _small_star(edges: DataFrame, node_bound: int = 2**62) -> DataFrame:
     """Small-star(u): all smaller neighbors (and u itself) attach to
-    the minimum smaller neighbor. Input must be canonical (u > v).
+    the minimum smaller neighbor. Input must be oriented (u > v, no
+    self-loops); duplicate rows are tolerated — the per-node min is
+    dup-insensitive and the closing ``_canon`` dedups (r13: lets
+    ``_large_star`` skip its intermediate distinct exchange).
     ``node_bound`` as in ``_large_star``."""
     mins = edges.groupBy("u").agg(F.min("v").alias("m"))
     nbr = edges.join(_maybe_broadcast(mins, node_bound), "u").select(
