@@ -78,6 +78,18 @@ def persist_once(df, level=None):
     return df
 
 
+# r13 OPT: fanout's partition-count probe (``df.rdd.getNumPartitions``)
+# physically plans the subplan — ~100 ms of driver work per call, paid
+# on EVERY query build (the bench rebuilds each query per timed run).
+# The count is a pure function of (session, analyzed plan), so it is
+# memoized on the plan's semanticHash. A hash collision could only skip
+# or add the repartition — a performance decision, never a correctness
+# one (fanout is result-transparent). Reset when the application
+# changes, like the load() memo.
+_FANOUT_PARTS: dict[int, int] = {}
+_FANOUT_APP: list[str] = [""]
+
+
 def fanout(df, *keys: str):
     """Hash-repartition ``df`` to the session's default parallelism —
     but ONLY when its current plan would execute on fewer partitions
@@ -94,8 +106,17 @@ def fanout(df, *keys: str):
     high-cardinality key (e.g. doc_id).
     """
     spark = df.sparkSession
+    app = spark.sparkContext.applicationId
+    if app != _FANOUT_APP[0]:
+        _FANOUT_PARTS.clear()
+        _FANOUT_APP[0] = app
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    key = df._jdf.queryExecution().analyzed().semanticHash()
+    n = _FANOUT_PARTS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _FANOUT_PARTS[key] = n
+    if n >= par:
         return df
     from pyspark.sql import functions as F
 

@@ -58,12 +58,34 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+# r13 OPT (guide §5 "the driver should do almost no data work"):
+# ``spark.read.parquet`` costs ~90-270 ms of driver-side footer/schema
+# setup PER CALL, and a query that joins five tables paid it five times
+# per build (the bench's timed runs rebuild each query, so q_join_star
+# spent ~0.5 s/run on footer reads alone). DataFrames are immutable, so
+# the reader frame is memoized per (session, dir, table) — PLAN
+# metadata reuse, not result caching: every execution still scans the
+# parquet files. Keyed by applicationId and reset when it changes, so
+# test suites that cycle sessions never hold frames of dead contexts.
+_LOAD_MEMO: dict[tuple[str, str], DataFrame] = {}
+_LOAD_MEMO_APP: list[str] = [""]
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one fixture table; normalizes ``events.ts`` to timestamp_ntz."""
+    app = spark.sparkContext.applicationId
+    if app != _LOAD_MEMO_APP[0]:
+        _LOAD_MEMO.clear()
+        _LOAD_MEMO_APP[0] = app
+    key = (sf_dir, table)
+    cached = _LOAD_MEMO.get(key)
+    if cached is not None:
+        return cached
     configure_runtime(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
         df = normalize_event_ts(df)
+    _LOAD_MEMO[key] = df
     return df
 
 
