@@ -418,9 +418,25 @@ def connected_components_contract(
         nparts = max(1, min(in_parts, -(-n_edges // _LOOP_ROWS_PER_PARTITION)))
         # Mapping table rows = nodes of the current graph <= 2·n_edges.
         node_bound = 2 * n_edges
+        # r13 OPT (guide §2.4 "remove shuffles outright"): in the
+        # broadcast regime the loop frames are small enough that the
+        # shuffle exchanges themselves are pure overhead — coalescing
+        # the aggregation INPUT to one partition makes SinglePartition
+        # satisfy every downstream distribution requirement, so the
+        # min-label aggregate and the contracted-edge distinct plan
+        # with ZERO exchanges (one job per checkpoint instead of an
+        # AQE stage-materialization job per exchange). Bounded work: a
+        # gate-open round processes <= _CC_BROADCAST_ROWS/2 edges on
+        # one core — sub-second — while 100 TB round one (gate shut)
+        # keeps the hash-partitioned shuffle plan unchanged.
+        tight = node_bound <= _CC_BROADCAST_ROWS
+        if tight:
+            nparts = 1
         un = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
+        if tight:
+            un = un.coalesce(1)
         l = (
             un.groupBy("u")
             .agg(F.min("v").alias("mv"))
@@ -525,6 +541,10 @@ def connected_components_contract(
         mappings.append(l)
         mapping_bounds.append(node_bound)
         e_obs = Observation()
+        if tight:
+            # single-partition probe side → the post-join distinct needs
+            # no exchange (see the tight-regime note above)
+            edges = edges.coalesce(1)
         edges = (
             edges.join(
                 _maybe_broadcast(
@@ -608,6 +628,12 @@ def _large_star(edges: DataFrame, node_bound: int = 2**62) -> DataFrame:
     bounded by the symmetric edge count (each input row emits ≤ 1 row).
     """
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if node_bound <= _CC_BROADCAST_ROWS:
+        # tight regime (r13 OPT): one partition → the min aggregate
+        # plans without an exchange (SinglePartition satisfies its
+        # distribution requirement); gate-shut graphs keep the
+        # hash-partitioned shuffle plan.
+        sym = sym.coalesce(1)
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     m = mins.select(
         "u", F.least(F.col("mv"), F.col("u")).alias("m")
@@ -626,12 +652,20 @@ def _small_star(edges: DataFrame, node_bound: int = 2**62) -> DataFrame:
     dup-insensitive and the closing ``_canon`` dedups (r13: lets
     ``_large_star`` skip its intermediate distinct exchange).
     ``node_bound`` as in ``_large_star``."""
+    tight = node_bound <= _CC_BROADCAST_ROWS
+    if tight:
+        edges = edges.coalesce(1)  # tight regime — see _large_star
     mins = edges.groupBy("u").agg(F.min("v").alias("m"))
     nbr = edges.join(_maybe_broadcast(mins, node_bound), "u").select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
     own = mins.select("u", F.col("m").alias("v"))
-    return _canon(nbr.union(own))
+    un = nbr.union(own)
+    if tight:
+        # single partition into the closing canon → its distinct also
+        # plans exchange-free
+        un = un.coalesce(1)
+    return _canon(un)
 
 
 def connected_components_star(
