@@ -402,6 +402,28 @@ def _cpu_snapshot() -> tuple[int, int]:
     return busy, tree
 
 
+def _steal_snapshot() -> int:
+    """(r13) Cumulative hypervisor-steal jiffies from /proc/stat.
+
+    Steal is deliberately EXCLUDED from `_cpu_snapshot`'s busy side
+    (r12 ADVICE: nobody on this box ran during stolen ticks, so it is
+    not ambient load) — but that makes a heavy steal episode look like
+    a mysteriously slow box with ambient=0.0: this round's first
+    re-measure sweep ran 1.29× the pre-optimization record with
+    ambient_cpu_cores_avg 0.0 while the constant-plan calibration
+    probe itself read 0.611 s vs 0.147 s, and /proc/stat showed ~1.2
+    cores of cumulative steal since boot. Recording steal as its own
+    per-query and per-sweep field closes that attribution gap the same
+    way r13's per-query ambient brackets closed the burst-dilution
+    gap: a steal-throttled entry self-labels instead of requiring a
+    calibration-ratio inference.
+    """
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    return vals[7] if len(vals) > 7 else 0
+
+
 def _rotate_stderr_log(rnd: int, sf: str) -> None:
     """(r7, VERDICT r6 #6) Per-round stderr artifact: redirect fd 2 to
     a truncated bench_err_r{N}.log so every warning in it is
@@ -522,6 +544,7 @@ def main() -> None:
     # either to this process tree or to ambient load. See
     # _cpu_snapshot's docstring for why loadavg can't do this job.
     _busy0, _tree0 = _cpu_snapshot()
+    _steal0 = _steal_snapshot()
     _sweep_t0 = time.monotonic()
     _hz = os.sysconf("SC_CLK_TCK")
     calibration_s = round(min(calibrate() for _ in range(3)), 4)
@@ -536,9 +559,12 @@ def main() -> None:
     # ambient cores is listed in contaminated_queries.
     times: dict[str, float] = {}
     per_q_ambient: dict[str, float] = {}
+    per_q_steal: dict[str, float] = {}
     contaminated: list[str] = []
+    steal_affected: list[str] = []
     for name in BENCH_QUERIES + sorted(_extra_benches()):
         _qb0, _qt0 = _cpu_snapshot()
+        _qs0 = _steal_snapshot()
         _q_t0 = time.monotonic()
         try:
             # One untimed JIT warmup run (see module docstring). A
@@ -560,6 +586,10 @@ def main() -> None:
             per_q_ambient[name] = round(_amb, 2)
             if _amb > 1.0:
                 contaminated.append(name)
+            _stl = (_steal_snapshot() - _qs0) / _hz / _q_el
+            per_q_steal[name] = round(_stl, 2)
+            if _stl > 1.0:
+                steal_affected.append(name)
 
     total = round(sum(t for t in times.values() if t >= 0), 4)
     # (r7) A second calibration AFTER the sweep: the r6→r7 comparison
@@ -580,12 +610,24 @@ def main() -> None:
     _elapsed = max(time.monotonic() - _sweep_t0, 1e-6)
     ambient_cores = max(0, (_busy1 - _busy0) - (_tree1 - _tree0)) / _hz / _elapsed
     ambient_cores = round(ambient_cores, 2)
+    steal_cores = round((_steal_snapshot() - _steal0) / _hz / _elapsed, 2)
     if ambient_cores > 1.0 and not contended:
         contended = True
         print(
             f"# bench WARNING: ambient load during sweep "
             f"({ambient_cores:.2f} cores avg burned by other processes)"
             f" — sweep recorded with contended=true",
+            file=sys.stderr,
+        )
+    # (r13) Sustained hypervisor steal is contention from OUTSIDE the
+    # box — different cause than ambient processes, same consequence:
+    # the record is not comparable to an unthrottled round.
+    if steal_cores > 1.0 and not contended:
+        contended = True
+        print(
+            f"# bench WARNING: hypervisor steal during sweep "
+            f"({steal_cores:.2f} cores avg stolen) — sweep recorded "
+            f"with contended=true",
             file=sys.stderr,
         )
     cal_mid = (calibration_s + calibration_end_s) / 2
@@ -613,6 +655,9 @@ def main() -> None:
             "ambient_cpu_cores_avg": ambient_cores,
             "ambient_cores_per_query": per_q_ambient,
             "contaminated_queries": contaminated,
+            "steal_cores_avg": steal_cores,
+            "steal_cores_per_query": per_q_steal,
+            "steal_affected_queries": steal_affected,
             "contended": contended,
             "loadavg_gate": gate,
             "loadavg_gate_waited_s": waited,

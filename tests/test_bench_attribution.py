@@ -160,3 +160,17 @@ def test_orphan_cpu_lands_on_ambient_side():
         f"orphan's 1.0s+ burn shows only {ambient_s:.2f}s ambient — "
         f"outside-tree CPU not attributed to the ambient side"
     )
+
+
+def test_steal_snapshot_monotonic_nonnegative():
+    """(r13) The steal ledger: cumulative jiffies, never negative,
+    never decreasing. On bare metal (no steal field activity) both
+    snapshots are 0 and the delta contract still holds. Steal is NOT
+    part of _cpu_snapshot's busy side (r12 ADVICE) — this separate
+    counter is what lets a throttled sweep self-label instead of
+    reading as a slow box with ambient=0."""
+    s0 = bench._steal_snapshot()
+    assert isinstance(s0, int) and s0 >= 0
+    _burn(0.2)
+    s1 = bench._steal_snapshot()
+    assert s1 >= s0
