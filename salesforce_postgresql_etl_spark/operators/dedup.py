@@ -130,6 +130,16 @@ def _minhash_band_rows(tok: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     The size column exists for the candidate-stage prefilter (r7): it
     costs 8 bytes per band row and saves fetching the token arrays of
     provably-impossible pairs — see ``_size_compatible``.
+
+    r13 NEGATIVE A/B (don't re-litigate): an Arrow crossing computing
+    the 64 family mins + band hashes in NumPy (bit-exact XXH64
+    replication, pinned) measured 0.16× on the char5 path (3.17 s →
+    20.02 s interleaved, steal-free) and ~parity on the word path —
+    the codegen'd explode+aggregate ships 64 longs/doc through the
+    shuffle, while the crossing ships EVERY token hash through the
+    Python boundary behind an interpreted ``transform`` lambda (the
+    guide §8 "move heavy bytes once" lesson, in reverse). This JVM
+    shape is the right one; see OPTIMIZATION_r13.md.
     """
     r = n_hashes // bands
     exploded = tok.select("doc_id", F.explode("t").alias("tok"))
@@ -158,6 +168,19 @@ def _minhash_band_rows(tok: DataFrame, n_hashes: int, bands: int) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bh", "sz")
+
+
+def _tok_arrow_ok(tok: DataFrame) -> bool:
+    """Arrow-crossing gate for (doc_id, t) token frames: doc_id must
+    round-trip through an Arrow record batch (any primitive type) and
+    t must be the standard array<string> token set; anything exotic
+    keeps the JVM form."""
+    by_name = {f.name: f.dataType.simpleString() for f in tok.schema.fields}
+    return (
+        by_name.get("t") == "array<string>"
+        and "doc_id" in by_name
+        and "<" not in by_name["doc_id"]
+    )
 
 
 def _size_compatible(threshold: float) -> Column:
@@ -490,6 +513,18 @@ def simhash_signatures(docs: DataFrame, n_planes: int = 32) -> DataFrame:
             f"n_planes must be in [1, 32] (one md5 hex digit per plane), "
             f"got {n_planes}"
         )
+    docs = _fan_docs(docs)
+    tok_arrays = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("t")
+    )
+    if _tok_arrow_ok(tok_arrays):
+        return _simhash_signatures_arrow(tok_arrays, n_planes)
+    return _simhash_signatures_jvm(docs, n_planes)
+
+
+def _simhash_signatures_jvm(docs: DataFrame, n_planes: int) -> DataFrame:
+    """The pre-r13 explode + 32-lane aggregate form — fallback for
+    exotic doc_id types (and the equality oracle for the Arrow path)."""
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
     )
@@ -504,6 +539,77 @@ def simhash_signatures(docs: DataFrame, n_planes: int = 32) -> DataFrame:
         bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return s.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def _simhash_signatures_arrow(tok: DataFrame, n_planes: int) -> DataFrame:
+    """SimHash plane sums + sign bits through ONE Arrow crossing (r13,
+    guide §4.2): the JVM form pays, per token INSTANCE, an md5 plus
+    ``n_planes`` substring/compare/CASE lanes into an n_planes-column
+    aggregate; here md5 stays a JVM ``transform`` (one digest per
+    token, the identical hex string the exploded path hashed) and the
+    plane tallies + sign bits are exact integer NumPy over the packed
+    hex bytes — no explode, no wide aggregate.
+
+    Bit-exactness: plane i of the JVM form is
+    ``sum(CASE WHEN substring(md5(tok), i+1, 1) < '8' THEN 1 ELSE -1)``
+    = 2·(count of tokens whose hex digit i is '0'-'7') − n_tokens —
+    md5 hex digits are ASCII, so ``digit < '8'`` is ``byte < 0x38``;
+    the final signature bit is ``s_i > 0`` exactly as the JVM CASE
+    computes it. All integer arithmetic, no rounding anywhere.
+    Docs with NULL/empty token sets emit no row (explode semantics);
+    ``split`` never yields NULL elements, so md5 never sees one.
+
+    Contract (both forms): one row per doc_id — the JVM groupBy would
+    MERGE duplicate ids' token multisets where this path emits one
+    signature per input ROW; every caller guarantees unique ids.
+    """
+    id_t = tok.schema["doc_id"].dataType.simpleString()
+    base = tok.where(F.size("t") > 0).select(
+        "doc_id",
+        F.transform("t", lambda x: F.md5(x)).alias("hs"),
+    )
+
+    def tally(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        weights = (1 << np.arange(n_planes, dtype=np.int64))[None, :]
+        lt8 = np.uint8(ord("8"))
+        for batch in batches:
+            m = batch.num_rows
+            if m == 0:
+                continue
+            doc, hs = batch.column(0), batch.column(1)
+            if isinstance(hs, pa.ChunkedArray):  # defensive
+                hs = hs.combine_chunks()
+            lengths = hs.value_lengths().to_numpy(zero_copy_only=False)
+            lengths = lengths.astype(np.int64)
+            flat = hs.flatten()
+            # md5 hex strings are all exactly 32 ASCII bytes, so the
+            # value buffer between the first and last offset is a dense
+            # (n_tok, 32) byte matrix. Offsets are int32 for string,
+            # int64 for large_string.
+            off_dt = (
+                np.int64 if pa.types.is_large_string(flat.type) else np.int32
+            )
+            offs = np.frombuffer(flat.buffers()[1], dtype=off_dt)[
+                flat.offset : flat.offset + len(flat) + 1
+            ]
+            data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+            mat = data[offs[0] : offs[-1]].reshape(-1, 32)
+            bits = (mat[:, :n_planes] < lt8).astype(np.int64)
+            starts = np.zeros(m, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            cnt = np.add.reduceat(bits, starts, axis=0)
+            # s_i = 2*cnt - n_tok; signature bit set iff s_i > 0
+            pos = (2 * cnt - lengths[:, None]) > 0
+            sig = (pos * weights).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [doc, pa.array(sig, type=pa.int64())],
+                names=["doc_id", "simhash"],
+            )
+
+    return base.mapInArrow(tally, f"doc_id {id_t}, simhash bigint")
 
 
 def hamming_pairs(

@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.simsearch import neardup_embed_pairs
-from ..session import fanout
 from ..sources import load
 from . import register
 
@@ -72,25 +71,14 @@ FROM sig
 @register("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    # r13 (guide §2.5): the md5-per-token partial aggregate is the hot
-    # loop; a single-split documents scan pins it to one core, so fan
-    # the (doc_id, text) rows out first (no-op at scale). Plane sums
-    # are +-1 integer adds — order-free, result-identical (measured
-    # sf0.1: 2.97s -> 1.42s min-of-4, rows identical).
-    tok = fanout(d.select("doc_id", "text"), "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
-    )
-    h = F.md5(F.col("tok"))  # one digest per token, 32 hex-digit planes
-    planes = [
-        F.sum(F.when(F.substring(h, i + 1, 1) < "8", 1).otherwise(-1)).alias(f"s{i}")
-        for i in range(N_PLANES)
-    ]
-    s = tok.groupBy("doc_id").agg(*planes)
-    sig = None
-    for i in range(N_PLANES):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    out = s.select("doc_id", sig.cast("bigint").alias("simhash"))
+    # r13 (guide §2.5 + §4.2): shared operator — fanout against the
+    # single-split fixture scan (no-op at scale), then the md5-hex
+    # plane tallies + sign bits in one Arrow crossing (bit-identical
+    # to the explode + 32-lane aggregate; pinned in
+    # tests/test_simhash_arrow.py and this query's own differential).
+    from ..operators.dedup import simhash_signatures
+
+    out = simhash_signatures(d, n_planes=N_PLANES)
     # bucket size via groupBy + join-back, NOT count().over(Window.
     # partitionBy(simhash)): a window keyed by the signature funnels a
     # hot duplicate group (boilerplate repeated 10^7 times shares one
