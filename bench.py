@@ -161,6 +161,17 @@ def _extra_benches():
         # candidates. The registered q_neardup_incremental keeps the
         # brute cross join as its oracle form; ≡ proven in
         # tests/test_llm_ops.py.
+        # r14 NEGATIVE (VERDICT r13 #5, measured): fanning the doc scan
+        # ONCE before the split does NOT collapse the two per-side
+        # fanout exchanges — the %5 predicates push down through the
+        # repartition into each side's FileScan (DataFilters), so the
+        # two exchange subtrees are never canonically equal and no
+        # ReusedExchange can fire (verified: 4 exchanges / 0 reused in
+        # BOTH forms, tests/cross_fan_ab_measure.py; interleaved walls
+        # within noise). Collapsing them would require blocking the
+        # pushdown or persisting the fanned scan — the latter widens
+        # what the warmup pre-materializes, which VERDICT r13 #5
+        # explicitly flags as a methodology change. Entry stays as-is.
         from salesforce_postgresql_etl_spark.operators.dedup import (
             neardup_pairs_cross,
         )

@@ -628,12 +628,33 @@ def _large_star(edges: DataFrame, node_bound: int = 2**62) -> DataFrame:
     bounded by the symmetric edge count (each input row emits ≤ 1 row).
     """
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    if node_bound <= _CC_BROADCAST_ROWS:
-        # tight regime (r13 OPT): one partition → the min aggregate
-        # plans without an exchange (SinglePartition satisfies its
-        # distribution requirement); gate-shut graphs keep the
-        # hash-partitioned shuffle plan.
-        sym = sym.coalesce(1)
+    tight = node_bound <= _CC_BROADCAST_ROWS
+    if tight:
+        # tight regime (r13 OPT / r14 VERDICT #4): one partition → the
+        # aggregate plans without an exchange (SinglePartition
+        # satisfies its distribution requirement). r14 removes the
+        # per-alternation join + broadcast-build job entirely: the
+        # join only re-attached m = min(Γ(u) ∪ {u}) to u's neighbor
+        # rows, which a collect_list aggregate carries directly —
+        # explode(filter(vs, v > u)) emits exactly the join's
+        # (v, m) rows. collect_list is safe HERE ONLY because the
+        # measured gate bounds the round's edges (≤ _CC_BROADCAST_ROWS
+        # /2 rows in one task); a hub node at 100 TB would make the
+        # list a skew bomb, so the gate-shut path keeps the join.
+        # (A plain SinglePartition join is NOT an option: the
+        # checkpointed inputs carry default 8 EiB size stats, and
+        # spark.sql.maxSinglePartitionBytes makes EnsureRequirements
+        # re-shuffle single-partition JOIN children it estimates too
+        # big — measured: 2 exchanges + 4 extra jobs per alternation.)
+        agg = sym.coalesce(1).groupBy("u").agg(
+            F.collect_list("v").alias("vs")
+        )
+        return agg.select(
+            F.explode(
+                F.filter(F.col("vs"), lambda x: x > F.col("u"))
+            ).alias("u"),
+            F.least(F.array_min("vs"), F.col("u")).alias("v"),
+        )
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     m = mins.select(
         "u", F.least(F.col("mv"), F.col("u")).alias("m")
@@ -654,18 +675,29 @@ def _small_star(edges: DataFrame, node_bound: int = 2**62) -> DataFrame:
     ``node_bound`` as in ``_large_star``."""
     tight = node_bound <= _CC_BROADCAST_ROWS
     if tight:
-        edges = edges.coalesce(1)  # tight regime — see _large_star
+        # tight regime (r14 — see _large_star's note): the join +
+        # union only re-attached m = min of the smaller neighbors to
+        # each neighbor row and appended u's own (u, m) row; one
+        # collect_list aggregate + explode(vs ++ [u]) emits the same
+        # multiset in a single exchange-free SinglePartition stage —
+        # no broadcast-build job, no union branch. Gate-bounded rows
+        # only; the gate-shut path keeps the join.
+        agg = edges.coalesce(1).groupBy("u").agg(
+            F.collect_list("v").alias("vs")
+        )
+        un = agg.select(
+            F.explode(
+                F.concat(F.col("vs"), F.array(F.col("u")))
+            ).alias("u"),
+            F.array_min("vs").alias("v"),
+        )
+        return _canon(un)
     mins = edges.groupBy("u").agg(F.min("v").alias("m"))
     nbr = edges.join(_maybe_broadcast(mins, node_bound), "u").select(
         F.col("v").alias("u"), F.col("m").alias("v")
     )
     own = mins.select("u", F.col("m").alias("v"))
-    un = nbr.union(own)
-    if tight:
-        # single partition into the closing canon → its distinct also
-        # plans exchange-free
-        un = un.coalesce(1)
-    return _canon(un)
+    return _canon(nbr.union(own))
 
 
 def connected_components_star(
@@ -698,14 +730,21 @@ def connected_components_star(
     # Node set comes from the RAW pairs, not the canonicalized edges:
     # _canon drops self-loops, and a node appearing ONLY in a self-loop
     # must still be labeled (as its own singleton) to match the other
-    # two engines' contract exactly.
-    nodes = (
-        raw.select(F.col("u").alias("node"))
-        .union(raw.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # two engines' contract exactly. r14 (guide §2.6 fixed job
+    # overhead): built LAZILY — it is consumed exactly once, by the
+    # final labels join, and ``raw`` is already checkpointed, so the
+    # old eager checkpoint materialized the distinct in its own job
+    # only for the final action to re-read it. Folding it into the
+    # final plan is one fewer job for identical total work.
     n_edges = int(e_obs.get["n"])
+    node_union = raw.select(F.col("u").alias("node")).union(
+        raw.select(F.col("v").alias("node"))
+    )
+    if 2 * n_edges <= _CC_BROADCAST_ROWS:
+        # tight regime: SinglePartition input lets the node distinct
+        # plan exchange-free inside the final action (see _large_star)
+        node_union = node_union.coalesce(1)
+    nodes = node_union.distinct()
     for rounds in range(1, max_iters + 1):
         # r13: the round count rides the checkpoint job as an observed
         # metric (same fixed-job-overhead cut as the contract loop).
@@ -737,7 +776,12 @@ def connected_components_star(
     if stats is not None:
         stats["rounds"] = rounds
     # Stable star edges are (child, root); roots and any node whose
-    # component fully contracted label themselves.
+    # component fully contracted label themselves. The broadcast hint
+    # is required for the exchange-free final plan even though both
+    # sides are SinglePartition in the tight regime: the checkpointed
+    # parents side carries default 8 EiB size stats and
+    # spark.sql.maxSinglePartitionBytes would re-shuffle a plain
+    # single-partition join (see _large_star's r14 note).
     parents = edges.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     return nodes.join(
         _maybe_broadcast(parents, 2 * n_edges), "node", "left"

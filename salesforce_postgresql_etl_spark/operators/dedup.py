@@ -170,16 +170,38 @@ def _minhash_band_rows(tok: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     ).select("doc_id", "b.band", "b.bh", "sz")
 
 
+# Atomic doc_id types PROVEN to round-trip mapInArrow unchanged; the
+# r13 advisor flagged that gating on "no '<' in simpleString" admits
+# primitive-LOOKING types Arrow conversion can reject at runtime
+# (interval/void), turning a silent JVM fallback into an executor
+# error. Anything outside this allowlist takes the JVM form.
+_ARROW_ATOMIC_ID_TYPES = frozenset(
+    {
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+        "float",
+        "double",
+        "boolean",
+        "string",
+        "binary",
+        "date",
+        "timestamp",
+        "timestamp_ntz",
+    }
+)
+
+
 def _tok_arrow_ok(tok: DataFrame) -> bool:
-    """Arrow-crossing gate for (doc_id, t) token frames: doc_id must
-    round-trip through an Arrow record batch (any primitive type) and
-    t must be the standard array<string> token set; anything exotic
-    keeps the JVM form."""
+    """Arrow-crossing gate for (doc_id, t) token frames: doc_id must be
+    an allowlisted Arrow-safe atomic type (integral, string, binary,
+    date/timestamp, decimal) and t the standard array<string> token
+    set; anything exotic keeps the JVM form."""
     by_name = {f.name: f.dataType.simpleString() for f in tok.schema.fields}
-    return (
-        by_name.get("t") == "array<string>"
-        and "doc_id" in by_name
-        and "<" not in by_name["doc_id"]
+    id_t = by_name.get("doc_id", "")
+    return by_name.get("t") == "array<string>" and (
+        id_t in _ARROW_ATOMIC_ID_TYPES or id_t.startswith("decimal(")
     )
 
 
@@ -500,6 +522,12 @@ def simhash_signatures(docs: DataFrame, n_planes: int = 32) -> DataFrame:
     """(doc_id, simhash): same construction as the registered
     q_dedup_simhash (one md5 digest per token feeds all planes), as a
     reusable operator.
+
+    **Precondition: doc_id values must be unique (and non-NULL).** The
+    JVM fallback groupBy(doc_id) would MERGE duplicate ids' token
+    multisets where the Arrow fast path emits one signature per input
+    ROW, so non-unique ids silently diverge between the two paths (r13
+    advisor). Every in-repo caller derives doc_id from a primary key.
 
     ``n_planes`` is capped at 32: plane i reads hex digit i of the
     token's md5, and md5 has exactly 32 hex chars. Past that,

@@ -196,6 +196,86 @@ _MODULES = (
 # minus flagship slots, recompute with the ledger). After a green r13:
 # max staleness 3 on exactly one query (q_parquet_roundtrip), ≤2 on
 # the other 148, never-green empty.
+# r14 rotation (r13 draft + VERDICT r13 #3, executed) — EXECUTED below
+# as _R14_FRONT; the fronted set is EXACTLY the mechanized ledger's
+# draft (tests/coverage_ledger.py next_rotation_draft, pinned by
+# tests/test_rotation_draft.py), not hand-recomputed prose.
+# CORRECTNESS_r13 came back 50/50 green (window == _R13_FRONT exactly),
+# so the ledger reads {r10: 1, r11: 49, r12: 49, r13: 50}. Candidates:
+# q_parquet_roundtrip (the declared staleness-3 query, fronts FIRST) +
+# 49 r11-greens + flagship q_agg_group = 51 for 50 slots, so exactly
+# ONE r11-green is deferred to staleness 3 in its place —
+# q_neardup_stream_equiv, the LAST of the 49 in registration order
+# (the same tie-break r10/r11/r12/r13 used). q_neardup_stream_equiv
+# stays pytest-covered in the interim by tests/test_streaming.py (the
+# clique-drain batch≡stream equivalence suite) and fronts FIRST in r15
+# (r15 draft: q_neardup_stream_equiv + the 49 r12-greens minus
+# flagship slots, recompute with the ledger). This window also carries
+# the post-r13-engine-change gradings VERDICT r13 "what's wrong" #3
+# demanded: q_entity_match, q_join_star, q_neardup_clusters,
+# q_repetition_filter are all in-window (they are r11-greens, so the
+# mechanized draft fronts them without exception). After a green r14:
+# max staleness 3 on exactly one query (q_neardup_stream_equiv), ≤2 on
+# the other 148, never-green empty.
+_R14_FRONT = (
+    # the declared staleness-3 query — fronts FIRST per r13 policy note
+    "q_parquet_roundtrip",
+    # 48 of the 49 r11-greens, registration order (ledger-computed);
+    # q_neardup_stream_equiv (the 49th) deferred to front FIRST in r15
+    "q_filter_in",
+    "q_filter_like",
+    "q_filter_between",
+    "q_filter_null",
+    "q_join_star",
+    "q_join_left",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_join_cross",
+    "q_join_self",
+    "q_agg_global",
+    "q_agg_countdistinct",
+    "q_agg_approx_cd",
+    "q_agg_having",
+    "q_sort",
+    "q_topk",
+    "q_limit_offset",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_agg_groupingsets",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_pivot",
+    "q_agg_stats",
+    "q_agg_median",
+    "q_agg_arrays",
+    "q_agg_maxby",
+    "q_incremental_extract",
+    "q_neardup_clusters",
+    "q_salted_agg",
+    "q_rollup_cascade",
+    "q_reconcile",
+    "q_dq_report",
+    "q_scd2_merge",
+    "q_validate_rules",
+    "q_salted_join",
+    "q_quantile_sketch",
+    "q_unpivot",
+    "q_repetition_filter",
+    "q_entity_match",
+    "q_phash_neardup",
+    "q_audiofp_neardup",
+    "q_video_neardup",
+    "q_media_embed",
+    # flagship — always in-window
+    "q_agg_group",
+)
+# r13 rotation — executed, 50/50 green in CORRECTNESS_r13 (window ==
+# this tuple exactly, judge-verified). Kept for the ledger.
+# Superseded by _R14_FRONT above.
 _R13_FRONT = (
     # the declared staleness-3 query — fronts FIRST per r12 policy note
     "q_reclose_chain",
@@ -695,10 +775,10 @@ def _ensure_loaded() -> None:
 
 def registry() -> dict[str, Query]:
     _ensure_loaded()
-    unknown = [n for n in _R13_FRONT if n not in _REGISTRY]
+    unknown = [n for n in _R14_FRONT if n not in _REGISTRY]
     if unknown:  # typo guard: a misspelled front entry would silently
-        raise ValueError(f"_R13_FRONT names not registered: {unknown}")
-    front = {n: _REGISTRY[n] for n in _R13_FRONT}
+        raise ValueError(f"_R14_FRONT names not registered: {unknown}")
+    front = {n: _REGISTRY[n] for n in _R14_FRONT}
     rest = {n: q for n, q in _REGISTRY.items() if n not in front}
     return {**front, **rest}
 

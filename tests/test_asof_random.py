@@ -20,6 +20,11 @@ import duckdb
 import pandas as pd
 import pytest
 
+# r14 tiering (VERDICT r13 #2): multi-seed randomized sweep — slow
+# tier, opt in with SPARK_GRAFT_SLOW=1 (run + recorded in COVERAGE.md
+# each round).
+pytestmark = pytest.mark.slow
+
 from salesforce_postgresql_etl_spark.operators.asof import (
     asof_backward_join,
     asof_forward_join,

@@ -25,6 +25,11 @@ from __future__ import annotations
 import random
 
 import pytest
+
+# r14 tiering (VERDICT r13 #2): multi-seed randomized sweep — slow
+# tier, opt in with SPARK_GRAFT_SLOW=1 (run + recorded in COVERAGE.md
+# each round).
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from salesforce_postgresql_etl_spark.operators.cdc import (

@@ -19,6 +19,11 @@ import random
 
 import pytest
 
+# r14 tiering (VERDICT r13 #2): multi-seed randomized sweep — slow
+# tier, opt in with SPARK_GRAFT_SLOW=1 (run + recorded in COVERAGE.md
+# each round).
+pytestmark = pytest.mark.slow
+
 from salesforce_postgresql_etl_spark.operators.clustering import (
     connected_components,
     connected_components_contract,

@@ -72,11 +72,16 @@ def test_live_draft_matches_rotation_promise():
     green = latest_green()
     draft, deferred = next_rotation_draft(reg, green, reg[:50])
     assert len(draft) == 50 and draft[-1] == "q_agg_group"
-    # the executed r13 rotation's own comment promises
-    # q_parquet_roundtrip (the query it deferred by name) fronts FIRST
-    # in r14
-    assert draft[0] == "q_parquet_roundtrip"
+    # the executed r14 rotation's own comment promises
+    # q_neardup_stream_equiv (the query it deferred by name) fronts
+    # FIRST in r15
+    assert draft[0] == "q_neardup_stream_equiv"
     assert deferred not in draft
-    # the current pinned window carries the r12-declared staleness-3
+    # the current pinned window carries the r13-declared staleness-3
     # query in slot 1
-    assert reg[0] == "q_reclose_chain"
+    assert reg[0] == "q_parquet_roundtrip"
+    # VERDICT r13 "what's wrong" #3: the four paths whose engines
+    # changed in r13 after their last grading must be in this window
+    for q in ("q_entity_match", "q_join_star", "q_neardup_clusters",
+              "q_repetition_filter"):
+        assert q in reg[:50], q

@@ -62,3 +62,22 @@ def test_tok_arrow_gate(spark):
     assert _tok_arrow_ok(tok)
     exotic = tok.select(F.struct("doc_id").alias("doc_id"), "t")
     assert not _tok_arrow_ok(exotic)
+
+
+def test_tok_arrow_gate_is_an_allowlist(spark):
+    # r13 advisor: primitive-LOOKING types without '<' in their
+    # simpleString (interval, void) must NOT pass the gate — they would
+    # turn the silent JVM fallback into an executor-side Arrow error.
+    tok = token_sets(_rand_docs(spark, n=5))
+    for bad in (
+        F.make_interval(F.lit(0), F.lit(1)),  # interval month/day/...
+        F.lit(None),  # void
+    ):
+        assert not _tok_arrow_ok(tok.select(bad.alias("doc_id"), "t"))
+    # decimal and string stay on the fast path
+    assert _tok_arrow_ok(
+        tok.select(F.col("doc_id").cast("decimal(20,0)").alias("doc_id"), "t")
+    )
+    assert _tok_arrow_ok(
+        tok.select(F.col("doc_id").cast("string").alias("doc_id"), "t")
+    )
