@@ -86,10 +86,86 @@ _CC_BROADCAST_ROWS = int(
 # jobs), ≤ 64 in two. Env-overridable for plan-size-sensitive setups.
 _CC_JUMP_HOPS = int(os.environ.get("SPARK_GRAFT_CC_JUMP_HOPS", "7"))
 
+# r14 OPT (guide §4.2 "do the heavy lifting in native code", §2.6 job
+# overhead): once the MEASURED edge count clears this gate the whole
+# remaining component computation fits one task, and the contract
+# loop's per-round checkpoints + broadcast builds are pure driver
+# round-trips — 19 jobs on the sf0.1 ER match graph to contract
+# ~135k edges that one vectorized Shiloach-Vishkin pass labels in
+# milliseconds. The default reuses the broadcast gate's bound (≤ 1M
+# edge rows ≈ 16 MB — trivially one-task-sized); at 100 TB the first
+# billions-of-edges rounds keep the distributed loop and the finish
+# only ever sees the contracted remnant. Env-overridable; tests pin
+# the loop path by zeroing it.
+_CC_LOCAL_FINISH_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CC_LOCAL_ROWS", str(_CC_BROADCAST_ROWS))
+)
+
 
 def _maybe_broadcast(df: DataFrame, bound_rows: int) -> DataFrame:
     """Broadcast-hint ``df`` when its row bound clears the gate."""
     return F.broadcast(df) if bound_rows <= _CC_BROADCAST_ROWS else df
+
+
+def _cc_local_finish(base: DataFrame) -> DataFrame:
+    """(u, v) long edges, gate-bounded → (node, comp) in ONE Arrow
+    crossing over a single partition: vectorized min-label propagation
+    with pointer jumping (Shiloach–Vishkin shape) in NumPy.
+
+    Exactness: labels start as each node's own id (via its index in
+    the SORTED unique node array, so index order == id order), every
+    step takes elementwise minima of reachable labels, and the loop
+    runs to a fixpoint — the result is exactly (node, min reachable
+    id), the same contract every loop engine converges to. Integer
+    arithmetic only; row order is deterministic (sorted by node).
+    Self-loops are harmless (they propagate a node's own label);
+    callers gate NULL endpoints away before dispatching here.
+    """
+
+    def finish(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        us, vs = [], []
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            us.append(batch.column(0).to_numpy(zero_copy_only=False))
+            vs.append(batch.column(1).to_numpy(zero_copy_only=False))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        nodes = np.unique(np.concatenate([u, v]))
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        lab = np.arange(len(nodes), dtype=np.int64)
+        for _ in range(64):
+            new = lab.copy()
+            # hook: every endpoint takes the min of its neighbor's label
+            np.minimum.at(new, ui, lab[vi])
+            np.minimum.at(new, vi, lab[ui])
+            # compress: labels only ever decrease and new[x] <= x by
+            # construction, so chasing pointers is monotone
+            while True:
+                nn = new[new]
+                if np.array_equal(nn, new):
+                    break
+                new = nn
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        else:  # pragma: no cover — 2^64 exceeds any min-label chain
+            raise RuntimeError("local CC finish did not converge")
+        comp = nodes[lab]
+        step = 1 << 20
+        for i in range(0, len(nodes), step):
+            yield pa.record_batch(
+                [pa.array(nodes[i : i + step]), pa.array(comp[i : i + step])],
+                names=["node", "comp"],
+            )
+
+    return base.coalesce(1).mapInArrow(finish, "node bigint, comp bigint")
 
 
 def connected_components(
@@ -382,12 +458,33 @@ def connected_components_contract(
         pairs.select(
             F.col(a).cast("long").alias("u"), F.col(b).cast("long").alias("v")
         )
-        .observe(base_obs, F.count(F.lit(1)).alias("n"))
+        .observe(
+            base_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(F.col("u").isNull() | F.col("v").isNull(), 1)
+            ).alias("nulls"),
+        )
         .localCheckpoint(eager=True)
     )
     sym = base.union(base.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    in_parts = max(base.rdd.getNumPartitions(), 1)
     next_n_edges = int(base_obs.get["n"])
+    # r14 (guide §4.2/§2.6): gate-bounded graphs skip the loop — one
+    # Arrow crossing computes the same (node, min-reachable-id) labels
+    # in a single task (see _cc_local_finish). The gate uses the
+    # MEASURED count riding the checkpoint job, and NULL endpoints
+    # (whose group/join semantics the loop defines) keep the loop.
+    if (
+        0 < next_n_edges
+        and 2 * next_n_edges <= _CC_LOCAL_FINISH_ROWS
+        and int(base_obs.get["nulls"]) == 0
+    ):
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["edges_per_round"] = [next_n_edges]
+            stats["local_finish"] = True
+        return _cc_local_finish(base)
+    in_parts = max(base.rdd.getNumPartitions(), 1)
     # The loop's edge list stays ONE-DIRECTIONAL: the per-round min is
     # computed over a lazy two-scan union of the checkpointed frame
     # (symmetrizing inside the aggregation), and contracted edges are

@@ -29,7 +29,7 @@ def main() -> None:
     assert suffix in ("before", "after"), "arg 1 must be before|after"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(REPO, "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(
         app_name="plan-capture", master=f"local[{cpus}]", shuffle_partitions=cpus

@@ -264,9 +264,13 @@ def test_contract_chain_and_triangle(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
-def test_contract_logarithmic_on_long_chain(spark):
+def test_contract_logarithmic_on_long_chain(spark, monkeypatch):
     # Path 0-1-...-63: the pointer-jumped mapping must halve the chain
-    # per round — diameter-bound would be ~63 rounds.
+    # per round — diameter-bound would be ~63 rounds. Loop path pinned
+    # (r14): the local-finish gate would otherwise absorb this graph.
+    import salesforce_postgresql_etl_spark.operators.clustering as C
+
+    monkeypatch.setattr(C, "_CC_LOCAL_FINISH_ROWS", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
     )
@@ -291,11 +295,15 @@ def test_contract_keeps_selfloop_only_nodes(spark):
     assert got == _comp_map(connected_components_star(edges))
 
 
-def test_contract_converges_in_exactly_max_iters(spark):
+def test_contract_converges_in_exactly_max_iters(spark, monkeypatch):
     # A single edge contracts to nothing in ONE round; max_iters=1 must
     # therefore succeed (the old for/else discovered emptiness a round
     # late and raised spuriously — r7 review finding), and a chain that
-    # genuinely needs more rounds must still raise.
+    # genuinely needs more rounds must still raise. Loop path pinned
+    # (r14): max_iters is a LOOP property the local finish never hits.
+    import salesforce_postgresql_etl_spark.operators.clustering as C
+
+    monkeypatch.setattr(C, "_CC_LOCAL_FINISH_ROWS", 0)
     one = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     assert _comp_map(connected_components_contract(one, max_iters=1)) == {
         1: 1, 2: 1,
@@ -333,11 +341,14 @@ def test_contract_equals_labelprop_on_lsh_pairs(spark):
     )
 
 
-def test_contract_edge_telemetry_shrinks_geometrically(spark):
+def test_contract_edge_telemetry_shrinks_geometrically(spark, monkeypatch):
     # stats['edges_per_round'] is the scale claim as data: round 1 is
     # the input pair count; every later round must be a small fraction
     # of its predecessor (measured 190,925 -> 229 -> 2 at sf0.1; the
-    # tiny fixture shows the same shape).
+    # tiny fixture shows the same shape). Loop path pinned (r14).
+    import salesforce_postgresql_etl_spark.operators.clustering as C
+
+    monkeypatch.setattr(C, "_CC_LOCAL_FINISH_ROWS", 0)
     docs = load(spark, SF_DIR_TINY, "documents")
     pairs = neardup_pairs(docs, threshold=0.5)
     stats = {}
@@ -347,3 +358,58 @@ def test_contract_edge_telemetry_shrinks_geometrically(spark):
     assert len(counts) == stats["rounds"]
     for prev, cur in zip(counts, counts[1:]):
         assert cur < prev / 2  # geometric, not additive, shrinkage
+
+
+# --------------------------------------------------------------------
+# r14: tight-regime local finish (one-crossing Arrow union-find)
+# --------------------------------------------------------------------
+
+
+def test_local_finish_engages_and_equals_loop(spark, monkeypatch):
+    # Adversarial mix: long chain (pointer-jump stressor), cliques,
+    # self-loops, duplicate + reversed edges, a self-loop-only node.
+    import random
+
+    import salesforce_postgresql_etl_spark.operators.clustering as C
+
+    rng = random.Random(29)
+    rows = (
+        [(i, i + 1) for i in range(200)]
+        + [(1000 + rng.randrange(30), 1000 + rng.randrange(30)) for _ in range(120)]
+        + [(5000, 5000), (6000, 6001), (6001, 6000), (6000, 6001)]
+    )
+    edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    stats = {}
+    got = _comp_map(connected_components_contract(edges, stats=stats))
+    assert stats.get("local_finish") is True
+    assert stats["rounds"] == 0 and stats["edges_per_round"] == [len(rows)]
+    # identical to the pinned loop engine and to label-prop
+    monkeypatch.setattr(C, "_CC_LOCAL_FINISH_ROWS", 0)
+    stats2 = {}
+    loop = _comp_map(connected_components_contract(edges, stats=stats2))
+    assert "local_finish" not in stats2
+    assert got == loop
+    assert got == _comp_map(connected_components(edges))
+    # chain labels all 0; self-loop-only node labels itself
+    assert got[200] == 0 and got[5000] == 5000
+
+
+def test_local_finish_null_endpoints_keep_loop(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 9)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    connected_components_contract(edges, stats=stats).collect()
+    assert "local_finish" not in stats  # NULLs gate the crossing away
+
+
+def test_local_finish_on_lsh_pairs_equals_loop(spark, monkeypatch):
+    import salesforce_postgresql_etl_spark.operators.clustering as C
+
+    docs = load(spark, SF_DIR_TINY, "documents")
+    pairs = neardup_pairs(docs, threshold=0.5)
+    stats = {}
+    got = _comp_map(connected_components_contract(pairs, stats=stats))
+    assert stats.get("local_finish") is True
+    monkeypatch.setattr(C, "_CC_LOCAL_FINISH_ROWS", 0)
+    assert got == _comp_map(connected_components_contract(pairs))
